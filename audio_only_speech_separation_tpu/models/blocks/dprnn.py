@@ -1,0 +1,103 @@
+"""Dual-path RNN core (reference: look2hear/models/utils/dprnn.py:6-88).
+
+Per layer: optional TAC group-comm, intra-chunk BiLSTM over the chunk axis
+(+gLN, residual), inter-chunk (Bi)LSTM over the chunk-index axis (+gLN,
+residual).  ``unfold=True`` shares one row/col RNN across all layers with a
+gated depthwise 1×1 ``concat_block`` (dprnn.py:26-34,82).
+
+TPU mapping: the row pass batches B·G·S sequences of length K and the col
+pass batches B·G·K sequences of length S — both run as ONE bidirectional
+scan each (see ops.rnn) with big per-step matmuls.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...ops.activations import PReLU
+from ...ops.norms import GlobalLayerNorm
+from ...ops.rnn import ProjRNN
+from .tac import TAC
+
+
+class DepthwiseGate(nn.Module):
+    """Depthwise 1×1 Conv2d + PReLU (the unfold concat_block)."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):  # [B, C, K, S]
+        w = self.param("weight", nn.initializers.ones, (self.channels,))
+        b = self.param("bias", nn.initializers.zeros, (self.channels,))
+        y = x * w[None, :, None, None] + b[None, :, None, None]
+        return PReLU(name="act")(y)
+
+
+class DPRNNCore(nn.Module):
+    """Input [B, N, K, S] → [B, num_spk, G, out/(G·spk), K, S]-folded output.
+
+    Returns [B, num_spk, output_size//num_spk, K, S] flattened over groups,
+    matching the reference's ``.transpose(1, 2)`` output layout
+    (dprnn.py:84-88).
+    """
+
+    input_size: int
+    hidden_size: int
+    output_size: int
+    num_group: int = 1
+    num_layers: int = 1
+    bidirectional: bool = True
+    unfold: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, K, S = x.shape
+        G = self.num_group
+        n = self.input_size // G
+        h = self.hidden_size // G
+        num_spk = self.output_size // self.input_size
+
+        if self.unfold:
+            shared_row = ProjRNN(h, bidirectional=True, name="row_rnn_shared")
+            shared_col = ProjRNN(h, bidirectional=self.bidirectional, name="col_rnn_shared")
+            shared_row_norm = GlobalLayerNorm(n, eps=1e-8, name="row_norm_shared")
+            shared_col_norm = GlobalLayerNorm(n, eps=1e-8, name="col_norm_shared")
+            gate = DepthwiseGate(n, name="concat_block")
+
+        out = x.reshape(B * G, n, K, S)
+        for i in range(self.num_layers):
+            if G > 1:
+                out = TAC(n, self.hidden_size * 3 // G, name=f"tac_{i}")(
+                    out.reshape(B, G, n, K * S)
+                ).reshape(B * G, n, K, S)
+
+            # intra-chunk (row): sequences over K, batched over B*G*S
+            row_in = jnp.transpose(out, (0, 3, 2, 1)).reshape(B * G * S, K, n)
+            row_rnn = shared_row if self.unfold else ProjRNN(h, bidirectional=True, name=f"row_rnn_{i}")
+            row_out = row_rnn(row_in)
+            row_out = jnp.transpose(
+                row_out.reshape(B * G, S, K, n), (0, 3, 2, 1)
+            )  # [B*G, n, K, S]
+            row_norm = shared_row_norm if self.unfold else GlobalLayerNorm(n, eps=1e-8, name=f"row_norm_{i}")
+            out = out + row_norm(row_out)
+
+            # inter-chunk (col): sequences over S, batched over B*G*K
+            col_in = jnp.transpose(out, (0, 2, 3, 1)).reshape(B * G * K, S, n)
+            col_rnn = shared_col if self.unfold else ProjRNN(h, bidirectional=self.bidirectional, name=f"col_rnn_{i}")
+            col_out = col_rnn(col_in)
+            col_out = jnp.transpose(
+                col_out.reshape(B * G, K, S, n), (0, 3, 1, 2)
+            )  # [B*G, n, K, S]
+            col_norm = shared_col_norm if self.unfold else GlobalLayerNorm(n, eps=1e-8, name=f"col_norm_{i}")
+            merged = out + col_norm(col_out)
+            out = gate(merged) if self.unfold else merged
+
+        # output 1×1 Conv2d over channels: n → output_size//G per group
+        out_ch = self.output_size // G
+        w = self.param("out_kernel", nn.initializers.lecun_normal(), (n, out_ch))
+        b = self.param("out_bias", nn.initializers.zeros, (out_ch,))
+        y = jnp.einsum("bcks,cd->bdks", out, w) + b[None, :, None, None]
+        y = y.reshape(B, G, num_spk, out_ch // num_spk, K, S)
+        y = jnp.swapaxes(y, 1, 2)  # [B, spk, G, out_ch/spk, K, S]
+        return y.reshape(B, num_spk, G * (out_ch // num_spk), K, S)

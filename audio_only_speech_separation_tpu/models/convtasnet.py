@@ -1,0 +1,122 @@
+"""Conv-TasNet (reference: look2hear/models/convtasnet.py:148-219).
+
+Pure-conv time-domain separator: free-filter encoder (stride = L//4),
+R stacks of X dilated depthwise Conv1D_Blocks, 1×1 mask head with
+relu/sigmoid/softmax, transposed-conv decoder.  Quirks preserved: the pad
+computation uses stride L//2 while the filterbank strides L//4
+(convtasnet.py:184,125,139), and the output crop is
+[win−stride : −(rest+win−stride)] (convtasnet.py:214).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.activations import PReLU
+from ..ops.conv import Conv1d, ConvDecoder, ConvEncoder, PointwiseConv
+from ..ops.norms import CumulativeLayerNorm, GlobalLayerNorm
+from . import register_model
+from .base import BaseModel, normalize_input, restore_output
+
+
+class Conv1DBlock(nn.Module):
+    """1×1 → PReLU+norm → dilated depthwise → PReLU+norm → 1×1, residual
+    (reference convtasnet.py:28-69)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int = 3
+    dilation: int = 1
+    norm_type: str = "gLN"
+
+    @nn.compact
+    def __call__(self, x):
+        causal = self.norm_type == "cLN"
+        pad = (
+            self.dilation * (self.kernel_size - 1)
+            if causal
+            else (self.dilation * (self.kernel_size - 1)) // 2
+        )
+        norm_cls = CumulativeLayerNorm if causal else GlobalLayerNorm
+        w = PointwiseConv(self.out_channels, name="conv1x1")(x)
+        w = norm_cls(self.out_channels, name="norm1")(PReLU(name="act1")(w))
+        w = Conv1d(
+            self.out_channels,
+            kernel_size=self.kernel_size,
+            dilation=self.dilation,
+            padding=pad,
+            groups=self.out_channels,
+            name="dwconv",
+        )(w)
+        if causal:
+            w = w[:, :, :-pad]
+        w = norm_cls(self.out_channels, name="norm2")(PReLU(name="act2")(w))
+        w = PointwiseConv(self.in_channels, name="sconv")(w)
+        return x + w
+
+
+@register_model
+class ConvTasNet(BaseModel):
+    N: int = 512
+    L: int = 16
+    B: int = 128
+    H: int = 512
+    P: int = 3
+    X: int = 8
+    R: int = 3
+    norm: str = "gLN"
+    num_spks: int = 2
+    activate: str = "relu"
+    causal: bool = False
+    sample_rate: int = 16000
+    n_src: int = 2  # accepted for config parity; num_spks governs
+
+    @nn.compact
+    def __call__(self, wav):
+        x, was_one_d = normalize_input(wav)
+        win, pad_stride = self.L, self.L // 2
+        fb_stride = self.L // 4  # filterbank stride (convtasnet.py:125)
+
+        # pad (convtasnet.py:187-201): aux pad is win − stride on both ends
+        Bsz, T = x.shape
+        rest = win - (pad_stride + T % win) % win
+        if rest > 0:
+            x = jnp.pad(x, ((0, 0), (0, rest)))
+        x = jnp.pad(x, ((0, 0), (win - pad_stride, win - pad_stride)))
+
+        enc = ConvEncoder(self.N, win, fb_stride, name="encoder")(x)  # [B, N, T']
+        times = enc.shape[-1]
+
+        norm_cls = CumulativeLayerNorm if self.causal else GlobalLayerNorm
+        w = norm_cls(self.N, name="bn_norm")(enc)
+        w = PointwiseConv(self.B, name="bn_conv")(w)
+        for r in range(self.R):
+            for i in range(self.X):
+                w = Conv1DBlock(
+                    self.B,
+                    self.H,
+                    self.P,
+                    dilation=2**i,
+                    norm_type=self.norm if not self.causal else "cLN",
+                    name=f"tcn_{r}_{i}",
+                )(w)
+
+        m = PointwiseConv(self.N * self.num_spks, name="mask_conv")(w)
+        if self.activate == "relu":
+            m = nn.relu(m)
+        elif self.activate == "sigmoid":
+            m = jax.nn.sigmoid(m)
+        elif self.activate == "softmax":
+            m = jax.nn.softmax(m, axis=1)
+        else:
+            raise RuntimeError(f"Unsupported non-linear function: {self.activate}")
+
+        d = enc[:, None] * m.reshape(Bsz, self.num_spks, self.N, times)
+        s = ConvDecoder(self.N, win, fb_stride, name="decoder")(
+            d.reshape(Bsz * self.num_spks, self.N, times)
+        )
+        s = s[:, win - pad_stride : s.shape[-1] - (rest + win - pad_stride)]
+        out = s.reshape(Bsz, self.num_spks, -1)
+        return restore_output(out, was_one_d)

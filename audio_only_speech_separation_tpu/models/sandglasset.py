@@ -1,0 +1,205 @@
+"""Sandglasset (reference: look2hear/models/sandglasset.py:262-434).
+
+Alternating local BiLSTM + downsampled global self-attention whose rate
+shrinks then grows (4^i then mirrored — the "sandglass"), with skip
+connections across mirrored blocks.  Signal is peak-normalized and scaled by
+−5 dB at the input (sandglasset.py:330,363-368).
+
+Chunking here uses the unfold/fold variant with a FULL extra block of
+padding on both sides and a /2 overlap correction (sandglasset.py:383-413),
+unlike the other dual-path models.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.activations import PReLU
+from ..ops.attention import MultiheadAttention, sinusoidal_positions
+from ..ops.conv import ConvEncoder, PointwiseConv, frame_signal, overlap_add
+from ..ops.norms import GlobalLayerNorm
+from ..ops.resample import avg_pool1d, interpolate_linear_align_corners
+from ..ops.rnn import BiLSTM
+from . import register_model
+from .base import BaseModel
+
+
+def unfold_chunks(x: jnp.ndarray, K: int):
+    """x: [B, D, I] → chunks [B, D, K, S] with padding=K on both sides,
+    stride K/2 (torch unfold semantics, sandglasset.py:383-395)."""
+    B, D, I = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (K, K)))
+    frames = frame_signal(xp.reshape(B * D, -1), K, K // 2)  # [B*D, S, K]
+    S = frames.shape[1]
+    return jnp.transpose(frames.reshape(B, D, S, K), (0, 1, 3, 2)), I
+
+
+def fold_chunks(chunks: jnp.ndarray, ori_len: int):
+    """Inverse of `unfold_chunks` with the reference's /2 normalization."""
+    B, D, K, S = chunks.shape
+    frames = jnp.transpose(chunks, (0, 1, 3, 2)).reshape(B * D, S, K)
+    sig = overlap_add(frames, K // 2)  # [B*D, T_pad]
+    sig = sig[:, K : K + ori_len] / 2.0
+    return sig.reshape(B, D, ori_len)
+
+
+class GlobalAttnLayer(nn.Module):
+    """MHA + (output + dropout(output)) + LayerNorm (sandglasset.py:52-72)."""
+
+    channels: int
+    n_head: int
+
+    @nn.compact
+    def __call__(self, x):  # [B, S, D]
+        out = MultiheadAttention(self.channels, self.n_head, name="attn")(x)
+        # reference quirk: residual adds dropout(output) to output, not input
+        return nn.LayerNorm(name="norm")(out + out)
+
+
+class SandglassetBlock(nn.Module):
+    """Intra BiLSTM + downsampled inter attention (sandglasset.py:135-206)."""
+
+    in_chan: int
+    hid_size: int
+    n_head: int = 8
+    block_i: int = 2
+    model_n_block: int = 6
+    chunk_size: int = 64
+
+    @nn.compact
+    def __call__(self, x, skip_connect=None):
+        B, D, K, S = x.shape
+        # intra-chunk BiLSTM
+        local_in = jnp.transpose(x, (0, 3, 2, 1)).reshape(B * S, K, D)
+        local = BiLSTM(self.hid_size, name="intra_rnn")(local_in)
+        local = nn.Dense(D, name="intra_linear")(local)
+        local = jnp.transpose(local.reshape(B, S, K, D), (0, 3, 2, 1))
+        local = GlobalLayerNorm(D, eps=1e-5, name="intra_norm")(local)
+        x = x + local
+
+        # inter-chunk attention at a downsampled rate
+        if self.block_i < self.model_n_block // 2:
+            kernel = 4**self.block_i
+        else:
+            kernel = 4 ** (self.model_n_block - self.block_i - 1)
+        g = jnp.transpose(x, (3, 0, 1, 2)).reshape(S * B, D, K)
+        g = avg_pool1d(g, kernel, kernel)  # [S*B, D, Q]
+        Q = g.shape[-1]
+        g = jnp.swapaxes(g, 1, 2).reshape(S, B * Q, D)
+        if skip_connect is not None:
+            g = g + skip_connect
+        # attention over the chunk-index axis S: batch-first [B*Q, S, D]
+        h = nn.LayerNorm(name="attn_in_norm")(g)
+        h = h + sinusoidal_positions(S, D, h.dtype)[:, None, :]
+        h = jnp.swapaxes(h, 0, 1)  # [B*Q, S, D]
+        h = GlobalAttnLayer(D, self.n_head, name="attn_layer")(h)
+        g_out = jnp.swapaxes(h, 0, 1)  # [S, B*Q, D]
+        skip_out = g_out
+
+        # [S, B*Q, D] → [B, D*S, Q] → upsample → [B, D, K, S]
+        up = jnp.transpose(g_out.reshape(S, B, Q, D), (1, 3, 0, 2)).reshape(B, D * S, Q)
+        up = interpolate_linear_align_corners(up, self.chunk_size)
+        up = jnp.swapaxes(up.reshape(B, D, S, K), 2, 3)
+        up = GlobalLayerNorm(D, eps=1e-5, name="inter_norm")(up)
+        return x + up, skip_out
+
+
+@register_model
+class Sandglasset(BaseModel):
+    n_feats: int = 64
+    n_src: int = 2
+    out_chan: int = 64
+    bn_chan: int = 128
+    hid_size: int = 128
+    chunk_size: int = 250
+    hop_size: int = 125
+    n_repeats: int = 6
+    n_head: int = 8
+    norm_type: str = "gLN"
+    mask_act: str = "sigmoid"
+    bidirectional: bool = True
+    rnn_type: str = "LSTM"
+    num_layers: int = 1
+    dropout: float = 0.0
+    kernel_size: int = 2
+    sr: int = 16000
+    sample_rate: int = 16000
+
+    @nn.compact
+    def __call__(self, wav):
+        was_one_d = wav.ndim == 1
+        if wav.ndim == 1:
+            wav = wav[None]
+        B, T = wav.shape
+
+        # −5 dB peak normalization (sandglasset.py:363-368)
+        sig = wav - jnp.sum(wav, axis=-1, keepdims=True) / T
+        sig = sig / (jnp.max(jnp.abs(sig), axis=-1, keepdims=True) + 1e-12)
+        sig = sig / (10 ** (5.0 / 20.0))
+
+        win = self.kernel_size
+        hop = win // 2
+        rest = win - (hop + T % win) % win
+        if rest > 0:
+            sig = jnp.pad(sig, ((0, 0), (0, rest)))
+        sig = jnp.pad(sig, ((0, 0), (hop, hop)))
+
+        mixture_w = nn.relu(
+            ConvEncoder(self.n_feats, win, hop, use_bias=False, name="encoder")(sig)
+        )
+        mixture_w = GlobalLayerNorm(self.n_feats, eps=1e-8, name="enc_LN")(mixture_w)
+        out = PointwiseConv(self.bn_chan, use_bias=False, name="bottleneck")(mixture_w)
+        I = out.shape[-1]
+        chunks, ori_len = unfold_chunks(out, self.chunk_size)
+        chunks = GlobalLayerNorm(self.bn_chan, eps=1e-8, name="seg_norm")(
+            nn.relu(chunks)
+        )
+
+        skips = []
+        x = chunks
+        for i in range(self.n_repeats):
+            block = SandglassetBlock(
+                self.bn_chan,
+                self.hid_size,
+                self.n_head,
+                block_i=i,
+                model_n_block=self.n_repeats,
+                chunk_size=self.chunk_size,
+                name=f"sep_{i}",
+            )
+            if i < self.n_repeats // 2:
+                x, skip = block(x)
+                skips.append(skip)
+            else:
+                x, _ = block(x, skip_connect=skips.pop())
+
+        # mask head: PReLU → 1×1 conv2d → Softplus
+        x = PReLU(name="first_out_act")(x)
+        w = self.param(
+            "first_out_kernel",
+            nn.initializers.lecun_normal(),
+            (self.bn_chan, self.n_src * self.n_feats),
+        )
+        b = self.param(
+            "first_out_bias", nn.initializers.zeros, (self.n_src * self.n_feats,)
+        )
+        x = jnp.einsum("bnks,nm->bmks", x, w) + b[None, :, None, None]
+        x = jax.nn.softplus(x)
+        K, S = x.shape[2], x.shape[3]
+        est = fold_chunks(x.reshape(B * self.n_src, self.n_feats, K, S), ori_len)
+        est = GlobalLayerNorm(self.n_feats, eps=1e-8, name="out_norm")(
+            nn.relu(est)
+        ).reshape(B, self.n_src, self.n_feats, I)
+
+        masked = est * mixture_w[:, None]  # [B, C, N, I]
+        # decoder: Linear(n_feats → kernel) + overlap-add (sandglasset.py:209-259)
+        dw = self.param(
+            "decoder_kernel", nn.initializers.lecun_normal(), (self.n_feats, win)
+        )
+        frames = jnp.einsum("bcni,nw->bciw", masked, dw)  # [B, C, I, win]
+        Bc = B * self.n_src
+        sigs = overlap_add(frames.reshape(Bc, I, win), hop).reshape(B, self.n_src, -1)
+        sigs = sigs[:, :, hop : sigs.shape[-1] - (rest + hop)]
+        return sigs[0] if was_one_d else sigs

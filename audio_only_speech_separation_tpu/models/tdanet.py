@@ -1,0 +1,246 @@
+"""TDANet — top-down attention encoder-decoder (reference: tdanet.py:407-527).
+
+UConvBlock pyramid (stride-2 depthwise downsampling) → pooled multi-scale
+sum → GlobalAttention (MHA + conv-MLP) → sigmoid-gated InjectionMultiSum
+fusion back to each scale → weight-shared Recurrent iteration.
+
+Reference quirks preserved exactly:
+- MultiHeadAttention adds dropout(output) to *output*, not the input
+  (tdanet.py:247) — at eval this doubles the attention output;
+- the last_layer collapse at i == depth−2 fuses ``x_fused[i-1]`` (not i+1)
+  and never touches the deepest scale (tdanet.py:362-366).
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.activations import PReLU
+from ..ops.attention import MultiheadAttention, sinusoidal_positions
+from ..ops.conv import Conv1d, ConvTranspose1d, PointwiseConv
+from ..ops.norms import GlobalLayerNorm
+from ..ops.resample import adaptive_avg_pool1d, interpolate_nearest
+from . import register_model
+from .base import BaseModel
+from .blocks.dprnn import DepthwiseGate
+from .blocks.sudo import ConvNorm, ConvNormAct, DilatedConvNorm
+
+
+class Mlp(nn.Module):
+    """1×1 → depthwise 5-conv → ReLU → 1×1 (tdanet.py:197-213)."""
+
+    in_features: int
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = ConvNorm(self.hidden_size, 1, use_bias=False, name="fc1")(x)
+        h = Conv1d(
+            self.hidden_size,
+            kernel_size=5,
+            padding=2,
+            groups=self.hidden_size,
+            name="dwconv",
+        )(h)
+        h = nn.relu(h)
+        return ConvNorm(self.in_features, 1, use_bias=False, name="fc2")(h)
+
+
+class TDAAttention(nn.Module):
+    """Pos-enc + LayerNorm + MHA + post-norm on [B, C, T] (tdanet.py:232-248)."""
+
+    channels: int
+    n_head: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        h = jnp.swapaxes(x, 1, 2)  # [B, T, C]
+        h = nn.LayerNorm(name="attn_in_norm")(h)
+        h = h + sinusoidal_positions(h.shape[1], self.channels, h.dtype)[None]
+        h = MultiheadAttention(self.channels, self.n_head, name="attn")(h)
+        # reference quirk: residual is output + dropout(output), not input + out
+        h = nn.LayerNorm(name="norm")(h + h)
+        return jnp.swapaxes(h, 1, 2)
+
+
+class GlobalAttention(nn.Module):
+    in_chan: int
+    out_chan: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = x + TDAAttention(self.out_chan, name="attn")(x)
+        x = x + Mlp(self.out_chan, self.out_chan * 2, name="mlp")(x)
+        return x
+
+
+class InjectionMultiSum(nn.Module):
+    """Sigmoid-gated local/global fusion (tdanet.py:264-290)."""
+
+    inp: int
+    oup: int
+    kernel: int = 1
+
+    @nn.compact
+    def __call__(self, x_local, x_global):
+        groups = self.inp if self.inp == self.oup else 1
+        T = x_local.shape[-1]
+        local_feat = ConvNorm(
+            self.oup, self.kernel, groups=groups, use_bias=False, name="local_embedding"
+        )(x_local)
+        g_act = ConvNorm(
+            self.oup, self.kernel, groups=groups, use_bias=False, name="global_act"
+        )(x_global)
+        sig = interpolate_nearest(nn.sigmoid(g_act), T)
+        g_feat = ConvNorm(
+            self.oup, self.kernel, groups=groups, use_bias=False, name="global_embedding"
+        )(x_global)
+        g_feat = interpolate_nearest(g_feat, T)
+        return local_feat * sig + g_feat
+
+
+class TDAUConvBlock(nn.Module):
+    """Pyramid + global attention + injection fusion (tdanet.py:293-368)."""
+
+    out_channels: int = 128
+    in_channels: int = 512
+    upsampling_depth: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = ConvNormAct(self.in_channels, 1, name="proj_1x1")(x)
+        pyramid = [
+            DilatedConvNorm(
+                self.in_channels, 5, stride=1, groups=self.in_channels, name="spp_0"
+            )(y)
+        ]
+        for k in range(1, self.upsampling_depth):
+            pyramid.append(
+                DilatedConvNorm(
+                    self.in_channels, 5, stride=2, groups=self.in_channels, name=f"spp_{k}"
+                )(pyramid[-1])
+            )
+        # global: pooled sum of all scales at the deepest resolution
+        T_last = pyramid[-1].shape[-1]
+        global_f = sum(adaptive_avg_pool1d(f, T_last) for f in pyramid)
+        global_f = GlobalAttention(
+            self.in_channels * self.upsampling_depth, self.in_channels, name="globalatt"
+        )(global_f)
+
+        fused = [
+            InjectionMultiSum(self.in_channels, self.in_channels, name=f"fus_{i}")(
+                pyramid[i], global_f
+            )
+            for i in range(self.upsampling_depth)
+        ]
+
+        expanded = None
+        for i in range(self.upsampling_depth - 2, -1, -1):
+            other = fused[i - 1] if i == self.upsampling_depth - 2 else expanded
+            expanded = InjectionMultiSum(
+                self.in_channels, self.in_channels, 5, name=f"last_{i}"
+            )(fused[i], other)
+        return PointwiseConv(self.out_channels, name="res_conv")(expanded) + residual
+
+
+class Recurrent(nn.Module):
+    """Weight-shared iterated blocks with input re-injection (tdanet.py:371-404)."""
+
+    out_channels: int
+    in_channels: int
+    upsampling_depth: int
+    iters: int
+    unfold: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        mixture = x
+        if self.unfold:
+            unet = TDAUConvBlock(
+                self.out_channels, self.in_channels, self.upsampling_depth, name="unet"
+            )
+            gate = DepthwiseGate(self.out_channels, name="concat_block")
+            for i in range(self.iters):
+                x = unet(x) if i == 0 else unet(gate(mixture + x))
+        else:
+            for i in range(self.iters):
+                block = TDAUConvBlock(
+                    self.out_channels,
+                    self.in_channels,
+                    self.upsampling_depth,
+                    name=f"unet_{i}",
+                )
+                if i == 0:
+                    x = block(x)
+                else:
+                    g = DepthwiseGate(self.out_channels, name=f"concat_block_{i-1}")
+                    x = block(g(mixture + x))
+        return x
+
+
+@register_model
+class TDANet(BaseModel):
+    out_channels: int = 128
+    in_channels: int = 512
+    num_blocks: int = 16
+    upsampling_depth: int = 4
+    enc_kernel_size: int = 21  # milliseconds (tdanet.py:426)
+    num_sources: int = 2
+    sample_rate: int = 16000
+    unfold: bool = True
+
+    @nn.compact
+    def __call__(self, wav):
+        was_one_d = wav.ndim == 1
+        if wav.ndim == 1:
+            wav = wav[None]
+        elif wav.ndim == 3:
+            wav = wav[:, 0]
+
+        k = self.enc_kernel_size * self.sample_rate // 1000
+        stride = k // 4
+        basis = k // 2 + 1
+        B, T = wav.shape
+        rest = k - (stride + T % k) % k
+        if rest > 0:
+            wav = jnp.pad(wav, ((0, 0), (0, rest)))
+        wav = jnp.pad(wav, ((0, 0), (k - stride, k - stride)))
+
+        # encoder conv(1→basis, k, stride, padding=k//2)
+        enc = Conv1d(
+            basis,
+            kernel_size=k,
+            stride=stride,
+            padding=k // 2,
+            use_bias=False,
+            name="encoder",
+        )(wav[:, None, :])
+        s = enc
+        h = GlobalLayerNorm(basis, eps=1e-8, name="ln")(enc)
+        h = PointwiseConv(self.out_channels, name="bottleneck")(h)
+        h = Recurrent(
+            self.out_channels,
+            self.in_channels,
+            self.upsampling_depth,
+            self.num_blocks,
+            self.unfold,
+            name="sm",
+        )(h)
+        h = PReLU(name="mask_act")(h)
+        h = PointwiseConv(self.num_sources * basis, name="mask_conv")(h)
+        mask = nn.relu(h.reshape(B, self.num_sources, basis, -1))
+        masked = mask * s[:, None]
+
+        # decoder ConvTranspose1d(basis*spk → spk, k, stride, padding=k//2)
+        dec = ConvTranspose1d(
+            self.num_sources, kernel_size=k, stride=stride, use_bias=False, name="decoder"
+        )(masked.reshape(B, self.num_sources * basis, -1))
+        p = k // 2
+        dec = dec[:, :, p : dec.shape[-1] - p]
+        crop = k - stride
+        out = dec[:, :, crop : dec.shape[-1] - (rest + crop)]
+        return out[0] if was_one_d else out

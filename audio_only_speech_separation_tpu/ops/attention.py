@@ -1,0 +1,94 @@
+"""Multi-head attention + positional encodings.
+
+Torch-compatible MHA (packed qkv in_proj, out_proj — the layout of
+``nn.MultiheadAttention``, used by Sepformer at reference sepformer.py:124
+and TDANet's GlobalAttention at tdanet.py:251-261) so reference checkpoints
+map 1:1.  Attention math is pure einsum → XLA fuses the softmax chain and
+tiles the matmuls on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class MultiheadAttention(nn.Module):
+    """Self/cross attention on [B, T, E] with torch parameter layout."""
+
+    embed_dim: int
+    num_heads: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # [B, Tq, E]
+        key: Optional[jnp.ndarray] = None,
+        value: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,  # broadcastable to [B, h, Tq, Tk]
+    ):
+        key = query if key is None else key
+        value = key if value is None else value
+        E, h = self.embed_dim, self.num_heads
+        dh = E // h
+        w_in = self.param(
+            "in_proj_weight", nn.initializers.xavier_uniform(), (3 * E, E)
+        )
+        b_in = (
+            self.param("in_proj_bias", nn.initializers.zeros, (3 * E,))
+            if self.use_bias
+            else None
+        )
+        wq, wk, wv = jnp.split(w_in, 3, axis=0)
+
+        def proj(x, w, b):
+            y = jnp.einsum("bte,fe->btf", x, w, preferred_element_type=x.dtype)
+            return y + b if b is not None else y
+
+        if b_in is not None:
+            bq, bk, bv = jnp.split(b_in, 3)
+        else:
+            bq = bk = bv = None
+        q = proj(query, wq, bq).reshape(*query.shape[:2], h, dh)
+        k = proj(key, wk, bk).reshape(*key.shape[:2], h, dh)
+        v = proj(value, wv, bv).reshape(*value.shape[:2], h, dh)
+
+        scale = 1.0 / np.sqrt(dh)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        if mask is not None:
+            logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
+        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=v.dtype)
+        out = out.reshape(*query.shape[:2], E)
+        out = nn.Dense(E, use_bias=self.use_bias, name="out_proj")(out)
+        return out
+
+
+def sinusoidal_positions(max_len: int, d_model: int, dtype=jnp.float32):
+    """Sinusoidal table [max_len, d_model] (reference sepformer.py:53-80)."""
+    pos = np.arange(max_len)[:, None].astype(np.float64)
+    div = np.exp(np.arange(0, d_model, 2) * (-np.log(10000.0) / d_model))
+    table = np.zeros((max_len, d_model))
+    table[:, 0::2] = np.sin(pos * div)
+    table[:, 1::2] = np.cos(pos * div[: (d_model + 1) // 2][: table[:, 1::2].shape[1]])
+    return jnp.asarray(table, dtype)
+
+
+class PositionalEncoding(nn.Module):
+    """Adds fixed sinusoidal positions to [B, T, E]."""
+
+    d_model: int
+    max_len: int = 10000
+
+    @nn.compact
+    def __call__(self, x):
+        T = x.shape[1]
+        table = sinusoidal_positions(T, self.d_model, x.dtype)
+        return x + table[None]

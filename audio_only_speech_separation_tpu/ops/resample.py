@@ -1,0 +1,86 @@
+"""Static-shape resampling: nearest interpolation + adaptive average pooling.
+
+torch-compatible semantics (F.interpolate(mode='nearest'),
+F.adaptive_avg_pool1d) used by TDANet/AFRCNN multi-scale fusion
+(reference tdanet.py:284-287,352; afrcnn.py:209,219).
+
+Both are built from STATIC index maps / pooling matrices computed at trace
+time, so XLA sees a gather (nearest) or a matmul (adaptive pool → MXU) with
+fixed shapes.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def interpolate_nearest(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """x: [..., T] → [..., size], torch 'nearest' (floor index map)."""
+    T = x.shape[-1]
+    if size == T:
+        return x
+    idx = np.floor(np.arange(size) * (T / size)).astype(np.int32)
+    idx = np.minimum(idx, T - 1)
+    return jnp.take(x, jnp.asarray(idx), axis=-1)
+
+
+@lru_cache(maxsize=64)
+def _adaptive_pool_matrix(in_size: int, out_size: int):
+    """[in, out] averaging matrix with torch adaptive_avg_pool1d windows."""
+    m = np.zeros((in_size, out_size), dtype=np.float32)
+    for i in range(out_size):
+        start = (i * in_size) // out_size
+        end = -(-((i + 1) * in_size) // out_size)  # ceil
+        m[start:end, i] = 1.0 / (end - start)
+    return jnp.asarray(m)
+
+
+def adaptive_avg_pool1d(x: jnp.ndarray, output_size: int) -> jnp.ndarray:
+    """x: [..., T] → [..., output_size] via a static pooling matmul."""
+    T = x.shape[-1]
+    if output_size == T:
+        return x
+    m = _adaptive_pool_matrix(T, output_size)
+    return jnp.einsum("...t,to->...o", x, m)
+
+
+def avg_pool1d(x: jnp.ndarray, kernel: int, stride: int | None = None) -> jnp.ndarray:
+    """torch AvgPool1d(kernel, stride) with floor-truncated tail, on [..., T]."""
+    stride = kernel if stride is None else stride
+    T = x.shape[-1]
+    n = (T - kernel) // stride + 1
+    if stride == kernel:
+        usable = n * kernel
+        return x[..., :usable].reshape(*x.shape[:-1], n, kernel).mean(-1)
+    m = np.zeros((T, n), dtype=np.float32)
+    for i in range(n):
+        m[i * stride : i * stride + kernel, i] = 1.0 / kernel
+    return jnp.einsum("...t,to->...o", x, jnp.asarray(m))
+
+
+@lru_cache(maxsize=64)
+def _linear_interp_matrix(in_size: int, out_size: int):
+    """[in, out] matrix for torch Upsample(mode='linear', align_corners=True)."""
+    m = np.zeros((in_size, out_size), dtype=np.float32)
+    if in_size == 1:
+        m[0, :] = 1.0
+    else:
+        for j in range(out_size):
+            src = j * (in_size - 1) / (out_size - 1) if out_size > 1 else 0.0
+            lo = int(np.floor(src))
+            hi = min(lo + 1, in_size - 1)
+            frac = src - lo
+            m[lo, j] += 1.0 - frac
+            m[hi, j] += frac
+    return jnp.asarray(m)
+
+
+def interpolate_linear_align_corners(x: jnp.ndarray, size: int) -> jnp.ndarray:
+    """x: [..., T] → [..., size], torch linear/align_corners=True semantics."""
+    T = x.shape[-1]
+    if size == T:
+        return x
+    return jnp.einsum("...t,to->...o", x, _linear_interp_matrix(T, size))

@@ -1,0 +1,177 @@
+"""Scan-based LSTM with fused gates — the TPU answer to cuDNN LSTM.
+
+The reference leans on ``nn.LSTM`` (cuDNN) inside every dual-path model
+(reference: look2hear/models/utils/gc3_basics.py:7-24, dprnn.py:40-49,
+bsrnn.py:13-34).  On TPU there is no cuDNN; the efficient mapping is:
+
+1. Hoist the input projection out of the recurrence: ``x @ W_ih + b`` is one
+   [B*T, D] @ [D, 4H] matmul over the whole sequence — large, batched, MXU.
+2. ``lax.scan`` carries only the [B, H] @ [H, 4H] hidden matmul per step.
+3. Bidirectional runs both directions in ONE scan by stacking the reversed
+   sequence on a direction axis with per-direction weights — halving the
+   number of sequential scans.
+
+Dual-path models call this with very short sequences (chunk size K≈100-250,
+or n_chunks S) and very large batch (B × n_chunks), which is exactly the
+regime where this scan formulation is competitive.
+
+Gate order is torch's (i, f, g, o) so reference checkpoints import directly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def lstm_scan(
+    x: jnp.ndarray,  # [B, T, D]
+    w_ih: jnp.ndarray,  # [D, 4H]
+    w_hh: jnp.ndarray,  # [H, 4H]
+    bias: Optional[jnp.ndarray],  # [4H] or None
+    reverse: bool = False,
+) -> jnp.ndarray:
+    """Single-direction LSTM; returns hidden states [B, T, H]."""
+    B, T, D = x.shape
+    H = w_hh.shape[0]
+    xw = jnp.einsum("btd,dg->btg", x, w_ih, preferred_element_type=x.dtype)
+    if bias is not None:
+        xw = xw + bias
+    xw = jnp.swapaxes(xw, 0, 1)  # [T, B, 4H]
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + jnp.einsum("bh,hg->bg", h, w_hh, preferred_element_type=h.dtype)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    init = (
+        jnp.zeros((B, H), x.dtype),
+        jnp.zeros((B, H), x.dtype),
+    )
+    _, hs = jax.lax.scan(step, init, xw, reverse=reverse)
+    if reverse:
+        # scan(reverse=True) already emits outputs aligned to input order
+        pass
+    return jnp.swapaxes(hs, 0, 1)  # [B, T, H]
+
+
+def bilstm_scan(
+    x: jnp.ndarray,  # [B, T, D]
+    w_ih: jnp.ndarray,  # [2, D, 4H]
+    w_hh: jnp.ndarray,  # [2, H, 4H]
+    bias: Optional[jnp.ndarray],  # [2, 4H] or None
+) -> jnp.ndarray:
+    """Bidirectional LSTM in a single scan; returns [B, T, 2H] (fwd‖bwd)."""
+    B, T, D = x.shape
+    H = w_hh.shape[1]
+    # Stack forward and time-reversed copies on a direction axis.
+    xx = jnp.stack([x, x[:, ::-1]], axis=0)  # [2, B, T, D]
+    xw = jnp.einsum("kbtd,kdg->kbtg", xx, w_ih, preferred_element_type=x.dtype)
+    if bias is not None:
+        xw = xw + bias[:, None, None, :]
+    xw = jnp.moveaxis(xw, 2, 0)  # [T, 2, B, 4H]
+
+    def step(carry, xt):
+        h, c = carry  # [2, B, H]
+        gates = xt + jnp.einsum(
+            "kbh,khg->kbg", h, w_hh, preferred_element_type=h.dtype
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    init = (
+        jnp.zeros((2, B, H), x.dtype),
+        jnp.zeros((2, B, H), x.dtype),
+    )
+    _, hs = jax.lax.scan(step, init, xw)  # [T, 2, B, H]
+    fwd = hs[:, 0]  # [T, B, H]
+    bwd = hs[:, 1][::-1]  # re-reverse to input time order
+    out = jnp.concatenate([fwd, bwd], axis=-1)  # [T, B, 2H]
+    return jnp.swapaxes(out, 0, 1)
+
+
+def _torch_lstm_init(key, shape, dtype=jnp.float32):
+    """U(-1/sqrt(H), 1/sqrt(H)) — torch nn.LSTM default; H = shape[-1] // 4."""
+    h = shape[-1] // 4
+    bound = 1.0 / jnp.sqrt(jnp.array(h, jnp.float32))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class LSTM(nn.Module):
+    """Unidirectional single-layer LSTM: [B, T, D] → [B, T, H]."""
+
+    hidden_size: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        D = x.shape[-1]
+        H = self.hidden_size
+        w_ih = self.param("w_ih", _torch_lstm_init, (D, 4 * H))
+        w_hh = self.param("w_hh", _torch_lstm_init, (H, 4 * H))
+        b = self.param("bias", _torch_lstm_init, (4 * H,)) if self.use_bias else None
+        return lstm_scan(x, w_ih, w_hh, b)
+
+
+class BiLSTM(nn.Module):
+    """Bidirectional single-layer LSTM: [B, T, D] → [B, T, 2H]."""
+
+    hidden_size: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        D = x.shape[-1]
+        H = self.hidden_size
+        w_ih = self.param("w_ih", _torch_lstm_init, (2, D, 4 * H))
+        w_hh = self.param("w_hh", _torch_lstm_init, (2, H, 4 * H))
+        b = (
+            self.param("bias", _torch_lstm_init, (2, 4 * H))
+            if self.use_bias
+            else None
+        )
+        return bilstm_scan(x, w_ih, w_hh, b)
+
+
+class MultiLayerLSTM(nn.Module):
+    """num_layers stacked (bi)LSTM, torch nn.LSTM(num_layers=L) semantics."""
+
+    hidden_size: int
+    num_layers: int = 1
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_layers):
+            if self.bidirectional:
+                x = BiLSTM(self.hidden_size, name=f"layer_{i}")(x)
+            else:
+                x = LSTM(self.hidden_size, name=f"layer_{i}")(x)
+        return x
+
+
+class ProjRNN(nn.Module):
+    """(Bi)LSTM + Linear projection back to the input width.
+
+    Reference: look2hear/models/utils/gc3_basics.py:7-24.  Input/output
+    [B, T, D]; the projection maps hidden_size × num_directions → D.
+    """
+
+    hidden_size: int
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.bidirectional:
+            h = BiLSTM(self.hidden_size, name="rnn")(x)
+        else:
+            h = LSTM(self.hidden_size, name="rnn")(x)
+        return nn.Dense(x.shape[-1], name="proj")(h)
