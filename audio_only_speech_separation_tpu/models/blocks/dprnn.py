@@ -22,15 +22,20 @@ from .tac import TAC
 
 
 class DepthwiseGate(nn.Module):
-    """Depthwise 1×1 Conv2d + PReLU (the unfold concat_block)."""
+    """Depthwise 1×1 conv + PReLU (the unfold concat_block).
+
+    Works on any [B, C, *spatial] rank (dual-path uses [B, C, K, S]; the
+    TDANet/AFRCNN recurrent re-injection uses [B, C, T]).
+    """
 
     channels: int
 
     @nn.compact
-    def __call__(self, x):  # [B, C, K, S]
+    def __call__(self, x):  # [B, C, *spatial]
         w = self.param("weight", nn.initializers.ones, (self.channels,))
         b = self.param("bias", nn.initializers.zeros, (self.channels,))
-        y = x * w[None, :, None, None] + b[None, :, None, None]
+        shape = (1, self.channels) + (1,) * (x.ndim - 2)
+        y = x * w.reshape(shape) + b.reshape(shape)
         return PReLU(name="act")(y)
 
 

@@ -1,0 +1,19 @@
+"""Mesh bootstrap and sharding helpers."""
+
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate,
+    local_shard_info,
+)
+
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "replicate",
+    "local_shard_info",
+]

@@ -1,0 +1,263 @@
+"""The explicit training loop — Lightning replaced by ~300 visible lines.
+
+What Lightning did for the reference (SURVEY.md §7 design stance) — loop +
+DDP + checkpoints + LR plateau + early stop + logging — is explicit here:
+
+- one jitted train step: global-batch mean loss → XLA inserts the gradient
+  ``psum`` over the ``dp`` mesh axis (no NCCL, no DDP wrapper);
+- donated params/opt-state buffers (no per-step HBM churn);
+- host-side ReduceLROnPlateau + EarlyStopping state machines fed by the
+  epoch val loss;
+- CheckpointManager: top-k/.last/best_k_models.json/best_model.pth;
+- TensorBoard scalars (torch SummaryWriter when available, CSV always):
+  train_loss / val_loss / test_loss / learning_rate, matching the
+  reference's stream names (audio_litmodule.py:79-148).
+
+Validation runs every epoch; the test loader additionally every 10 epochs
+(reference audio_litmodule.py:109-123).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import yaml
+
+from ..models import serialize, save_serialized
+from ..parallel import batch_sharding, make_mesh, replicate, shard_batch
+from .checkpoints import CheckpointManager
+from .optimizers import set_learning_rate
+from .schedulers import NoamLR
+
+
+class EarlyStopping:
+    """monitor/mode/patience state machine (reference audio_train.py:106-108)."""
+
+    def __init__(self, monitor="val_loss", mode="min", patience=30, verbose=False, **_):
+        self.monitor = monitor
+        self.mode = mode
+        self.patience = patience
+        self.verbose = verbose
+        self.best: Optional[float] = None
+        self.bad_epochs = 0
+
+    def step(self, metric: float) -> bool:
+        """Returns True when training should stop."""
+        better = (
+            self.best is None
+            or (metric < self.best if self.mode == "min" else metric > self.best)
+        )
+        if better:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+        return self.bad_epochs >= self.patience
+
+    def state_dict(self):
+        return dict(self.__dict__)
+
+    def load_state_dict(self, state):
+        self.__dict__.update(state)
+
+
+class ScalarLogger:
+    """CSV always; TensorBoard when torch is importable."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.csv_path = os.path.join(log_dir, "scalars.csv")
+        if not os.path.exists(self.csv_path):
+            with open(self.csv_path, "w") as f:
+                f.write("step,tag,value\n")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(log_dir)
+        except Exception:
+            pass
+
+    def log(self, tag: str, value: float, step: int):
+        with open(self.csv_path, "a") as f:
+            f.write(f"{step},{tag},{value}\n")
+        if self.tb is not None:
+            self.tb.add_scalar(tag, value, step)
+
+    def close(self):
+        if self.tb is not None:
+            self.tb.close()
+
+
+class Trainer:
+    def __init__(
+        self,
+        exp_dir: str,
+        epochs: int = 500,
+        early_stop: Optional[dict] = None,
+        mesh=None,
+        logger_dir: Optional[str] = None,
+        checkpoint: Optional[dict] = None,
+        test_every: int = 10,
+        seed: int = 42,
+        donate: bool = True,
+    ):
+        self.exp_dir = exp_dir
+        self.epochs = epochs
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.seed = seed
+        self.test_every = test_every
+        self.donate = donate
+        es = dict(early_stop or {})
+        es.setdefault("monitor", "val_loss/dataloader_idx_0")
+        self.early_stop = EarlyStopping(**es)
+        ck = dict(checkpoint or {})
+        ck.setdefault("monitor", "val_loss/dataloader_idx_0")
+        self.ckpt = CheckpointManager(os.path.join(exp_dir, ""), **{
+            k: v for k, v in ck.items() if k in (
+                "monitor", "mode", "save_top_k", "save_last", "filename")
+        })
+        self.logger = ScalarLogger(logger_dir or os.path.join(exp_dir, "logs"))
+        self.state: Dict[str, Any] = {}
+
+    # ---------------------------------------------------------------- steps
+    def _build_steps(self, system):
+        model = system.audio_model
+        tx = system.optimizer
+        train_loss = system.loss_func["train"]
+        val_loss = system.loss_func["val"]
+
+        def _loss(params, batch, loss_func):
+            mix, sources = batch
+            est = model.apply(params, mix)
+            return loss_func(est, sources)
+
+        @partial(jax.jit, donate_argnums=(0, 1) if self.donate else ())
+        def train_step(params, opt_state, batch):
+            loss, grads = jax.value_and_grad(_loss)(params, batch, train_loss)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        @jax.jit
+        def val_step(params, batch):
+            return _loss(params, batch, val_loss)
+
+        return train_step, val_step
+
+    def _device_batch(self, np_batch):
+        mix, sources, _keys = np_batch
+        return shard_batch((jnp.asarray(mix), jnp.asarray(sources)), self.mesh)
+
+    # ----------------------------------------------------------------- fit
+    def fit(self, system):
+        model = system.audio_model
+        tx = system.optimizer
+        train_loader = system.train_loader
+        val_loader = system.val_loader
+        test_loader = system.test_loader
+        scheduler = system.scheduler
+
+        # init or resume
+        start_epoch = 0
+        resume = self.ckpt.maybe_resume()
+        if resume is not None:
+            params = jax.tree_util.tree_map(jnp.asarray, resume["params"])
+            opt_state = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x,
+                resume["opt_state"],
+            )
+            start_epoch = resume["epoch"] + 1
+            if scheduler is not None and resume.get("scheduler"):
+                scheduler.load_state_dict(resume["scheduler"])
+            if resume.get("early_stop"):
+                self.early_stop.load_state_dict(resume["early_stop"])
+        else:
+            sample = next(iter(val_loader if val_loader is not None else train_loader))
+            mix = jnp.asarray(sample[0][:1])
+            params = model.init(jax.random.PRNGKey(self.seed), mix)
+            opt_state = tx.init(params)
+        params = replicate(params, self.mesh)
+        opt_state = jax.tree_util.tree_map(
+            lambda x: replicate(x, self.mesh) if hasattr(x, "shape") else x, opt_state
+        )
+
+        train_step, val_step = self._build_steps(system)
+
+        stop = False
+        for epoch in range(start_epoch, self.epochs):
+            if stop:
+                break
+            t0 = time.time()
+            train_loader.set_epoch(epoch)
+            losses = []
+            for np_batch in train_loader:
+                batch = self._device_batch(np_batch)
+                params, opt_state, loss = train_step(params, opt_state, batch)
+                if isinstance(scheduler, NoamLR):
+                    opt_state = set_learning_rate(opt_state, scheduler.step_batch())
+                losses.append(loss)
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+
+            val_losses = [
+                float(val_step(params, self._device_batch(b))) for b in val_loader
+            ]
+            val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+
+            test_loss = None
+            if test_loader is not None and epoch % self.test_every == 0:
+                test_losses = [
+                    float(val_step(params, self._device_batch(b))) for b in test_loader
+                ]
+                test_loss = float(np.mean(test_losses)) if test_losses else None
+
+            # scheduler + logging
+            lr = None
+            if scheduler is not None and not isinstance(scheduler, NoamLR):
+                lr = scheduler.step(val_loss)
+                opt_state = set_learning_rate(opt_state, lr)
+            self.logger.log("train_loss", train_loss, epoch)
+            self.logger.log("val_loss", val_loss, epoch)
+            if test_loss is not None:
+                self.logger.log("test_loss", test_loss, epoch)
+            if lr is not None:
+                self.logger.log("learning_rate", lr, epoch)
+            dt = time.time() - t0
+            print(
+                f"epoch {epoch}: train_loss={train_loss:.4f} val_loss={val_loss:.4f}"
+                + (f" test_loss={test_loss:.4f}" if test_loss is not None else "")
+                + (f" lr={lr:.2e}" if lr is not None else "")
+                + f" ({dt:.1f}s)"
+            )
+
+            # checkpoint + early stop
+            self.ckpt.save(
+                {
+                    "params": params,
+                    "opt_state": opt_state,
+                    "scheduler": scheduler.state_dict() if scheduler else None,
+                    "early_stop": self.early_stop.state_dict(),
+                    "config": getattr(system, "config", None),
+                },
+                epoch,
+                val_loss,
+            )
+            stop = self.early_stop.step(val_loss)
+
+        # post-fit: portable best model (reference audio_train.py:139-148)
+        self.ckpt.write_best_k()
+        best = self.ckpt.load() if self.ckpt.best_k else None
+        if best is not None:
+            best_params = jax.tree_util.tree_map(jnp.asarray, best["params"])
+            conf = serialize(model, best_params)
+            save_serialized(conf, os.path.join(self.exp_dir, "best_model.pth"))
+        self.logger.close()
+        self.state = {"params": params, "opt_state": opt_state}
+        return self.state

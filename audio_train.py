@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Train CLI (reference: audio_train.py:33-163).
+
+    python audio_train.py --conf-dir=configs/dprnn_wsj0.yml [--lr 5e-4 ...]
+
+Config → registries → AudioSystem → explicit TPU Trainer.  Every YAML leaf
+is a CLI flag (utils/parser_utils reflection).  Artifacts land in
+``Experiments/checkpoint/<exp_name>/`` (conf.yml, top-5 + last ckpts,
+best_k_models.json, best_model.pth), logs in
+``Experiments/tensorboard_logs/<exp_name>``.
+"""
+
+import argparse
+import os
+
+import yaml
+
+import audio_only_speech_separation_tpu.data as datas
+import audio_only_speech_separation_tpu.losses as losses
+import audio_only_speech_separation_tpu.models as models
+from audio_only_speech_separation_tpu.parallel import local_shard_info, make_mesh
+from audio_only_speech_separation_tpu.train import (
+    AudioSystem,
+    Trainer,
+    make_optimizer,
+    make_scheduler,
+)
+from audio_only_speech_separation_tpu.utils import (
+    parse_args_as_dict,
+    prepare_parser_from_dict,
+    print_only,
+)
+
+
+def build_loss(loss_conf: dict):
+    wrapper_cls = losses.get(loss_conf["loss_func"])
+    sdr = losses.get(loss_conf["sdr_type"])
+    return wrapper_cls(sdr, **(loss_conf.get("config") or {}))
+
+
+def main(config):
+    print_only("Instantiating datamodule <{}>".format(config["datamodule"]["data_name"]))
+    shard_id, num_shards = local_shard_info()
+    datamodule = datas.get(config["datamodule"]["data_name"])(
+        **config["datamodule"]["data_config"],
+        shard_id=shard_id,
+        num_shards=num_shards,
+    )
+    datamodule.setup()
+    train_loader, val_loader, test_loader = datamodule.make_loader
+
+    print_only("Instantiating AudioNet <{}>".format(config["audionet"]["audionet_name"]))
+    model_cls = models.get(config["audionet"]["audionet_name"])
+    model = model_cls(
+        sample_rate=config["datamodule"]["data_config"]["sample_rate"],
+        **(config["audionet"]["audionet_config"] or {}),
+    )
+
+    print_only("Instantiating optimizer <{}>".format(config["optimizer"]["optim_name"]))
+    optimizer = make_optimizer(
+        optim_name=config["optimizer"]["optim_name"],
+        lr=config["optimizer"]["lr"],
+        weight_decay=config["optimizer"].get("weight_decay", 0.0),
+        grad_clip=5.0,  # Lightning gradient_clip_val=5.0 (audio_train.py:123)
+    )
+
+    scheduler = None
+    if config.get("scheduler") and config["scheduler"].get("sche_name"):
+        print_only("Instantiating scheduler <{}>".format(config["scheduler"]["sche_name"]))
+        scheduler = make_scheduler(
+            config["scheduler"]["sche_name"],
+            lr=config["optimizer"]["lr"],
+            **(config["scheduler"].get("sche_config") or {}),
+        )
+
+    # experiment dir + config snapshot (reference audio_train.py:59-63)
+    exp_dir = os.path.join(
+        os.getcwd(), "Experiments", "checkpoint", config["exp"]["exp_name"]
+    )
+    os.makedirs(exp_dir, exist_ok=True)
+    config["main_args"] = dict(config.get("main_args") or {})
+    config["main_args"]["exp_dir"] = exp_dir
+    with open(os.path.join(exp_dir, "conf.yml"), "w") as f:
+        yaml.safe_dump(config, f, default_flow_style=False)
+
+    print_only("Instantiating losses <{}>".format(config["loss"]["train"]["loss_func"]))
+    loss_func = {
+        "train": build_loss(config["loss"]["train"]),
+        "val": build_loss(config["loss"]["val"]),
+    }
+
+    system = AudioSystem(
+        audio_model=model,
+        loss_func=loss_func,
+        optimizer=optimizer,
+        train_loader=train_loader,
+        val_loader=val_loader,
+        test_loader=test_loader,
+        scheduler=scheduler,
+        config=config,
+    )
+
+    logger_dir = os.path.join(
+        os.getcwd(), "Experiments", "tensorboard_logs", config["exp"]["exp_name"]
+    )
+    trainer = Trainer(
+        exp_dir=exp_dir,
+        epochs=config["training"]["epochs"],
+        early_stop=config["training"].get("early_stop"),
+        mesh=make_mesh(),
+        logger_dir=logger_dir,
+        checkpoint={"monitor": "val_loss/dataloader_idx_0", "mode": "min", "save_top_k": 5},
+    )
+    trainer.fit(system)
+    print_only(f"Training finished; artifacts in {exp_dir}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--conf-dir",
+        default="configs/dprnn_wsj0.yml",
+        help="Full path to save best validation model",
+    )
+    args, _ = parser.parse_known_args()
+    with open(args.conf_dir) as f:
+        def_conf = yaml.safe_load(f)
+    parser = prepare_parser_from_dict(def_conf, parser=parser)
+    arg_dic, plain_args = parse_args_as_dict(parser, return_plain_args=True)
+    # reassemble the nested config with CLI overrides applied
+    config = {}
+    for group, leaves in arg_dic.items():
+        if group == "main_args":
+            config["main_args"] = leaves
+            continue
+        config[group] = leaves
+    # restore the two-level nesting the groups flattened
+    for group in def_conf:
+        if group not in config:
+            config[group] = def_conf[group]
+    main(config)
