@@ -183,6 +183,10 @@ class Trainer:
             sample = next(iter(val_loader if val_loader is not None else train_loader))
             mix = jnp.asarray(sample[0][:1])
             params = model.init(jax.random.PRNGKey(self.seed), mix)
+            warm = getattr(system, "warm_start", None)
+            if warm is not None:
+                pre_params, merge_fn = warm
+                params = merge_fn(params, pre_params)
             opt_state = tx.init(params)
         params = replicate(params, self.mesh)
         opt_state = jax.tree_util.tree_map(

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Eval CLI (reference: audio_test.py:30-101).
+
+    python audio_test.py --conf-dir=Experiments/checkpoint/<exp>/conf.yml
+
+Reloads ``best_model.pth`` through the registry, iterates the raw test set
+utterance-by-utterance and streams SI-SNR(i)/SDR(i) to
+``results/metrics.csv``.
+
+TPU shape discipline: full-utterance eval has variable T, which would
+retrace per length.  Utterances are right-padded to the next multiple of
+``--bucket-seconds`` so XLA sees a handful of shapes, and estimates are
+cropped back to the true length before scoring (SURVEY.md §7 hard-part 4).
+Unlike the reference — whose eval silently random-crops when the training
+conf still has ``segment`` set (SURVEY.md §3.2) — the test set here is
+ALWAYS built with ``segment=None``.
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+import audio_only_speech_separation_tpu.data as datas
+import audio_only_speech_separation_tpu.models as models
+from audio_only_speech_separation_tpu.metrics import MetricsTracker
+from audio_only_speech_separation_tpu.utils import print_only
+
+
+def main(config, bucket_seconds: float = 1.0):
+    exp_dir = config["main_args"]["exp_dir"]
+    model_path = os.path.join(exp_dir, "best_model.pth")
+    print_only(f"Loading model from {model_path}")
+    sr = config["datamodule"]["data_config"]["sample_rate"]
+    model, params = models.from_pretrain(
+        model_path,
+        sample_rate=sr,
+        **(config["audionet"]["audionet_config"] or {}),
+    )
+
+    data_config = dict(config["datamodule"]["data_config"])
+    data_config["segment"] = None  # full-utterance eval, explicitly
+    datamodule = datas.get(config["datamodule"]["data_name"])(**data_config)
+    datamodule.setup()
+    _, _, test_set = datamodule.make_sets
+
+    results_dir = os.path.join(exp_dir, "results")
+    os.makedirs(results_dir, exist_ok=True)
+    metrics = MetricsTracker(save_file=os.path.join(results_dir, "metrics.csv"))
+
+    bucket = max(1, int(bucket_seconds * sr))
+
+    @jax.jit
+    def forward(p, mix):
+        return model.apply(p, mix)
+
+    for idx in range(len(test_set)):
+        mix, sources, key = test_set[idx]
+        T = mix.shape[-1]
+        T_pad = -(-T // bucket) * bucket
+        mix_in = np.zeros((1, T_pad), np.float32)
+        mix_in[0, :T] = mix
+        est = np.asarray(forward(params, jnp.asarray(mix_in)))[0, :, :T]
+        metrics(mix, sources, est, key)
+        if idx % 50 == 0:
+            print_only(f"[{idx}/{len(test_set)}] {metrics.update()}")
+    metrics.final()
+    print_only(f"Results written to {results_dir}/metrics.csv")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--conf-dir",
+        type=str,
+        required=True,
+        help="Path to the experiment conf.yml",
+    )
+    parser.add_argument("--bucket-seconds", type=float, default=1.0)
+    args = parser.parse_args()
+    with open(args.conf_dir) as f:
+        config = yaml.safe_load(f)
+    config.setdefault("main_args", {})
+    config["main_args"].setdefault("exp_dir", os.path.dirname(args.conf_dir))
+    main(config, bucket_seconds=args.bucket_seconds)

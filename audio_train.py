@@ -32,6 +32,11 @@ from audio_only_speech_separation_tpu.utils import (
 )
 
 
+# Optional warm-start hook set by audio_train_twostep.py:
+# a (pretrained_params, merge_fn) pair applied after parameter init.
+WARM_START = None
+
+
 def build_loss(loss_conf: dict):
     wrapper_cls = losses.get(loss_conf["loss_func"])
     sdr = losses.get(loss_conf["sdr_type"])
@@ -99,6 +104,8 @@ def main(config):
         scheduler=scheduler,
         config=config,
     )
+    if WARM_START is not None:
+        system.warm_start = WARM_START
 
     logger_dir = os.path.join(
         os.getcwd(), "Experiments", "tensorboard_logs", config["exp"]["exp_name"]

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark CLI: separated-audio-seconds per second per chip.
+
+The reference has no benchmark subsystem (SURVEY.md §6) — its only perf
+path is a manual wall-clock harness (unit_tests.py:27-42).  This CLI is the
+framework's headline inference benchmark, run by the driver on one real TPU
+chip.  Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Measurement notes (axon TPU tunnel):
+- ``block_until_ready()`` does NOT block through the tunnel (verified: it
+  reports >100 PFLOP/s).  Timing therefore forces a 4-byte scalar
+  device→host fetch that data-depends on every benchmark iteration.
+- All ITERS iterations run inside ONE jitted ``lax.fori_loop`` so per-call
+  dispatch/tunnel latency is amortized; the input is perturbed by the loop
+  index so XLA cannot hoist the loop-invariant forward out of the loop.
+
+Baseline: the driver's north star is >5× A100 separated-audio-sec/sec/chip
+(BASELINE.md).  No measured A100 number exists in the reference, so
+``A100_EST`` is an analytic estimate for the same ConvTasNet-LRS3 config:
+~51 GFLOP per audio-second at ~20% utilization of 312 bf16 TFLOP/s ≈ 1200;
+rounded to 1000 audio-sec/sec.  vs_baseline = value / A100_EST.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_only_speech_separation_tpu.models import ConvTasNet
+
+A100_EST = 1000.0  # audio-sec/sec/chip, analytic estimate (see module docstring)
+
+BATCH = 8
+SECONDS = 2.0
+SAMPLE_RATE = 16000
+ITERS = 20
+
+
+def main():
+    model = ConvTasNet(
+        N=512, L=16, B=128, H=512, P=3, X=8, R=3,
+        norm="gLN", num_spks=3, activate="relu", causal=False,
+        sample_rate=SAMPLE_RATE,
+    )
+    T = int(SECONDS * SAMPLE_RATE)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(BATCH, T)).astype(np.float32)
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def bench_loop(p, mix):
+        def body(i, acc):
+            # index-dependent perturbation defeats loop-invariant hoisting
+            m = mix * (1.0 + 1e-9 * i.astype(mix.dtype))
+            return acc + model.apply(p, m).sum()
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), mix.dtype))
+
+    float(bench_loop(params, x))  # compile + warmup, fetch forces completion
+    t0 = time.perf_counter()
+    float(bench_loop(params, x))
+    dt = time.perf_counter() - t0
+
+    audio_sec = BATCH * SECONDS * ITERS
+    throughput = audio_sec / dt
+    print(
+        json.dumps(
+            {
+                "metric": "convtasnet_lrs3_infer_throughput",
+                "value": round(throughput, 2),
+                "unit": "audio-sec/sec/chip",
+                "vs_baseline": round(throughput / A100_EST, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
