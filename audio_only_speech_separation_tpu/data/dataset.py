@@ -22,13 +22,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-try:
-    import soundfile as sf
-
-    HAVE_SOUNDFILE = True
-except ImportError:  # pragma: no cover - soundfile is expected in prod
-    sf = None
-    HAVE_SOUNDFILE = False
+from .audio_io import read_wav
 
 EPS = 1e-8
 
@@ -42,10 +36,7 @@ def normalize_wav(wav: np.ndarray, eps: float = EPS, std: Optional[np.ndarray] =
 
 
 def _read(path: str, start: int = 0, stop: Optional[int] = None) -> np.ndarray:
-    if not HAVE_SOUNDFILE:
-        raise RuntimeError("soundfile is required for wav manifest datasets")
-    data, _ = sf.read(path, start=start, stop=stop, dtype="float32")
-    return data
+    return read_wav(path, start, stop)
 
 
 class ManifestDataset:

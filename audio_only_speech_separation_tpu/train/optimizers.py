@@ -73,6 +73,7 @@ def make_optimizer(
     **kw,
 ) -> optax.GradientTransformation:
     """Build the full update chain: [clip] → injected(base optimizer)."""
+    _base(optim_name, lr, weight_decay, **kw)  # eager name/kwargs validation
 
     @optax.inject_hyperparams
     def injected(learning_rate):
