@@ -50,7 +50,15 @@ class Mlp(nn.Module):
 
 
 class TDAAttention(nn.Module):
-    """Pos-enc + LayerNorm + MHA + post-norm on [B, C, T] (tdanet.py:232-248)."""
+    """Pos-enc + LayerNorm + MHA + post-norm on [B, C, T] (tdanet.py:232-248).
+
+    Faithful to TWO reference quirks:
+    1. the batch-first [B, T, C] tensor is fed to a seq-first torch MHA
+       (tdanet.py:246), so attention actually runs over the BATCH axis,
+       batched over T (positions are still indexed by T);
+    2. the residual is output + dropout(output) — at eval 2×output — not
+       input + output (tdanet.py:247).
+    """
 
     channels: int
     n_head: int = 8
@@ -60,10 +68,12 @@ class TDAAttention(nn.Module):
         h = jnp.swapaxes(x, 1, 2)  # [B, T, C]
         h = nn.LayerNorm(name="attn_in_norm")(h)
         h = h + sinusoidal_positions(h.shape[1], self.channels, h.dtype)[None]
-        h = MultiheadAttention(self.channels, self.n_head, name="attn")(h)
-        # reference quirk: residual is output + dropout(output), not input + out
-        h = nn.LayerNorm(name="norm")(h + h)
-        return jnp.swapaxes(h, 1, 2)
+        # (batch=T, seq=B): reference's seq-first misuse, replicated
+        hq = jnp.swapaxes(h, 0, 1)  # [T, B, C]
+        out = MultiheadAttention(self.channels, self.n_head, name="attn")(hq)
+        out = jnp.swapaxes(out, 0, 1)  # [B, T, C]
+        out = nn.LayerNorm(name="norm")(out + out)
+        return jnp.swapaxes(out, 1, 2)
 
 
 class GlobalAttention(nn.Module):

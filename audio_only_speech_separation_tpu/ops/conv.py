@@ -142,7 +142,15 @@ class Conv1d(nn.Module):
 
 
 class ConvTranspose1d(nn.Module):
-    """Torch-layout ConvTranspose1d on [B, C, T]."""
+    """Torch-semantics ConvTranspose1d on [B, C, T].
+
+    out[b, o, i*stride + j] += Σ_c x[b, c, i] · w[c, o, j] — implemented as
+    one channel-mixing einsum (MXU) + overlap-add (layout ops), with the
+    kernel stored in the torch [in, out, k] layout so reference weights
+    import verbatim.  (flax's nn.ConvTranspose uses a different kernel
+    convention — fractionally-strided conv without the flip — which does
+    NOT match torch; see tests/test_torch_parity.py.)
+    """
 
     out_channels: int
     kernel_size: int
@@ -151,15 +159,22 @@ class ConvTranspose1d(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # [B, C, T]
-        y = jnp.swapaxes(x, 1, 2)
-        y = nn.ConvTranspose(
-            features=self.out_channels,
-            kernel_size=(self.kernel_size,),
-            strides=(self.stride,),
-            padding="VALID",
-            use_bias=self.use_bias,
-        )(y)
-        return jnp.swapaxes(y, 1, 2)
+        B, C, T = x.shape
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (C, self.out_channels, self.kernel_size),
+        )
+        frames = jnp.einsum(
+            "bct,cok->botk", x, w, preferred_element_type=x.dtype
+        )  # [B, out, T, k]
+        out = overlap_add(
+            frames.reshape(B * self.out_channels, T, self.kernel_size), self.stride
+        ).reshape(B, self.out_channels, -1)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            out = out + b[None, :, None]
+        return out
 
 
 class PointwiseConv(nn.Module):

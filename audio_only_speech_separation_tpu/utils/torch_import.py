@@ -142,9 +142,267 @@ def convert_tasnet_dprnn(sd: Dict[str, np.ndarray], layer: int = 6):
     return {"params": p}
 
 
+def _layer_norm(sd, prefix: str):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _mha(sd, prefix: str):
+    return {
+        "in_proj_weight": sd[f"{prefix}.in_proj_weight"],
+        "in_proj_bias": sd[f"{prefix}.in_proj_bias"],
+        "out_proj": _dense(sd, f"{prefix}.out_proj"),
+    }
+
+
+def convert_tasnet_dptnet(sd: Dict[str, np.ndarray], layer: int = 6):
+    """Reference TasNet+DPTNet (gc3_network.py + dptnet.py, group_size=1)."""
+    p: Dict = {}
+    p["encoder"] = {"kernel": sd["encoder.weight"][:, 0, :].T}
+    p["bn_norm"] = _norm(sd, "bottleneck.0")
+    p["bn_conv"] = {"kernel": sd["bottleneck.1.weight"][:, :, 0].T}
+    core: Dict = {}
+    for i in range(layer):
+        for kind in ("row", "col"):
+            pre = f"seq_model.seq_model.{kind}_xfmr.{i}.transformer"
+            core[f"{kind}_xfmr_{i}"] = {
+                "self_attn": _mha(sd, f"{pre}.self_attn"),
+                "norm1": _layer_norm(sd, f"{pre}.norm1"),
+                "ffn_lstm": _lstm(sd, f"{pre}.linear1", bidirectional=True),
+                "ffn_proj": _dense(sd, f"{pre}.linear2"),
+                "norm2": _layer_norm(sd, f"{pre}.norm2"),
+            }
+    core["out_kernel"] = sd["seq_model.seq_model.output.weight"][:, :, 0, 0].T
+    core["out_bias"] = sd["seq_model.seq_model.output.bias"]
+    p["seq_model"] = core
+    p["mask_conv"] = _pointwise(sd, "mask.0")
+    p["decoder"] = {"kernel": sd["decoder.weight"][:, 0, :]}
+    return {"params": p}
+
+
+def _res_rnn(sd, prefix: str, bidirectional: bool = True):
+    return {
+        "norm": _norm(sd, f"{prefix}.norm"),
+        "rnn": _lstm(sd, f"{prefix}.rnn", bidirectional=bidirectional),
+        "proj": _dense(sd, f"{prefix}.proj"),
+    }
+
+
+def convert_bsrnn(
+    sd: Dict[str, np.ndarray],
+    nband: int = 8,
+    num_repeat: int = 8,
+    num_layer: int = 1,
+    bi_comm: bool = True,
+):
+    """Reference BSRNN (bsrnn.py:63-242)."""
+    p: Dict = {}
+    for i in range(nband):
+        p[f"bn_norm_{i}"] = _norm(sd, f"BN.{i}.0")
+        p[f"bn_conv_{i}"] = _pointwise(sd, f"BN.{i}.1")
+    for r in range(num_repeat):
+        sep: Dict = {}
+        for j in range(num_layer):
+            sep[f"band_rnn_{j}"] = _res_rnn(sd, f"separator.{r}.band_rnn.{j}")
+        sep["band_comm"] = _res_rnn(sd, f"separator.{r}.band_comm", bidirectional=bi_comm)
+        p[f"separator_{r}"] = sep
+    for i in range(nband):
+        p[f"mask_norm_{i}"] = _norm(sd, f"mask.{i}.0")
+        p[f"mask_c1_{i}"] = _pointwise(sd, f"mask.{i}.1")
+        p[f"mask_c2_{i}"] = _pointwise(sd, f"mask.{i}.3")
+        p[f"mask_c3_{i}"] = _pointwise(sd, f"mask.{i}.5")
+        p[f"mask_act_{i}"] = _prelu(sd, f"mask.{i}.6")
+        p[f"mask_c4_{i}"] = _pointwise(sd, f"mask.{i}.7")
+    return {"params": p}
+
+
+def convert_sepformer(
+    sd: Dict[str, np.ndarray],
+    masknet_numlayers: int = 2,
+    intra_numlayers: int = 8,
+    inter_numlayers: int = 8,
+):
+    """Reference Sepformer (sepformer.py:849-1020)."""
+    p: Dict = {}
+    p["encoder"] = {"kernel": sd["encoder.conv1d.weight"][:, 0, :].T}
+    p["mask_norm"] = _norm(sd, "masknet.norm")
+    p["mask_conv1d"] = {"kernel": sd["masknet.conv1d.weight"][:, :, 0].T}
+    for i in range(masknet_numlayers):
+        blk: Dict = {}
+        for side, n_layers in (("intra", intra_numlayers), ("inter", inter_numlayers)):
+            mdl: Dict = {}
+            for j in range(n_layers):
+                pre = f"masknet.dual_mdl.{i}.{side}_mdl.mdl.layers.{j}"
+                mdl[f"layer_{j}"] = {
+                    "self_att": _mha(sd, f"{pre}.self_att.att"),
+                    "norm1": _layer_norm(sd, f"{pre}.norm1"),
+                    "norm2": _layer_norm(sd, f"{pre}.norm2"),
+                    "ffn1": _dense(sd, f"{pre}.pos_ffn.ffn.0"),
+                    "ffn2": _dense(sd, f"{pre}.pos_ffn.ffn.3"),
+                }
+            mdl["norm"] = _layer_norm(sd, f"masknet.dual_mdl.{i}.{side}_mdl.mdl.norm")
+            blk[f"{side}_mdl"] = mdl
+            blk[f"{side}_norm"] = _norm(sd, f"masknet.dual_mdl.{i}.{side}_norm")
+        p[f"dual_mdl_{i}"] = blk
+    p["mask_prelu"] = _prelu(sd, "masknet.prelu")
+    p["conv2d_kernel"] = sd["masknet.conv2d.weight"][:, :, 0, 0].T
+    p["conv2d_bias"] = sd["masknet.conv2d.bias"]
+    p["output"] = _pointwise(sd, "masknet.output.0")
+    p["output_gate"] = _pointwise(sd, "masknet.output_gate.0")
+    p["end_conv1x1"] = {"kernel": sd["masknet.end_conv1x1.weight"][:, :, 0].T}
+    p["decoder"] = {"kernel": sd["decoder.weight"][:, 0, :]}
+    return {"params": p}
+
+
+def _conv_norm(sd, prefix: str):
+    """Reference ConvNorm/DilatedConvNorm {conv, norm} pair."""
+    return {"conv": _conv1d(sd, f"{prefix}.conv"), "norm": _norm(sd, f"{prefix}.norm")}
+
+
+def _conv_norm_act(sd, prefix: str):
+    out = _conv_norm(sd, prefix)
+    out["act"] = _prelu(sd, f"{prefix}.act")
+    return out
+
+
+def _gate(sd, prefix: str):
+    """Depthwise 1×1 concat_block Sequential(conv, PReLU)."""
+    return {
+        "weight": sd[f"{prefix}.0.weight"][:, 0, 0],
+        "bias": sd[f"{prefix}.0.bias"],
+        "act": _prelu(sd, f"{prefix}.1"),
+    }
+
+
+def convert_afrcnn(sd: Dict[str, np.ndarray], upsampling_depth: int = 5):
+    """Reference AFRCNN (afrcnn.py:246-364)."""
+    D = upsampling_depth
+    p: Dict = {}
+    p["encoder"] = _conv1d(sd, "encoder")
+    p["ln"] = _norm(sd, "ln")
+    p["bottleneck"] = _pointwise(sd, "bottleneck")
+    blocks: Dict = {}
+    blocks["proj_1x1"] = _conv_norm_act(sd, "sm.blocks.proj_1x1")
+    for k in range(D):
+        blocks[f"spp_{k}"] = _conv_norm(sd, f"sm.blocks.spp_dw.{k}")
+    for i in range(1, D):
+        # fuse_layers[i][0] is the stride-2 downsampler from scale i-1
+        blocks[f"down_{i}"] = _conv_norm(sd, f"sm.blocks.fuse_layers.{i}.0")
+    for i in range(D):
+        blocks[f"concat_{i}"] = _conv_norm_act(sd, f"sm.blocks.concat_layer.{i}")
+    blocks["last_layer"] = _conv_norm_act(sd, "sm.blocks.last_layer.0")
+    blocks["res_conv"] = _pointwise(sd, "sm.blocks.res_conv")
+    p["sm"] = {"blocks": blocks, "concat_block": _gate(sd, "sm.concat_block")}
+    p["mask_act"] = _prelu(sd, "mask_net.0")
+    p["mask_conv"] = _pointwise(sd, "mask_net.1")
+    p["decoder"] = {"kernel": sd["decoder.weight"]}
+    return {"params": p}
+
+
+def convert_tdanet(sd: Dict[str, np.ndarray], upsampling_depth: int = 5):
+    """Reference TDANet (tdanet.py:407-527, unfold=True)."""
+    D = upsampling_depth
+    p: Dict = {}
+    p["encoder"] = _conv1d(sd, "encoder")
+    p["ln"] = _norm(sd, "ln")
+    p["bottleneck"] = _pointwise(sd, "bottleneck")
+    unet: Dict = {}
+    unet["proj_1x1"] = _conv_norm_act(sd, "sm.unet.proj_1x1")
+    for k in range(D):
+        unet[f"spp_{k}"] = _conv_norm(sd, f"sm.unet.spp_dw.{k}")
+    for i in range(D):
+        unet[f"fus_{i}"] = {
+            "local_embedding": _conv_norm(sd, f"sm.unet.loc_glo_fus.{i}.local_embedding"),
+            "global_embedding": _conv_norm(sd, f"sm.unet.loc_glo_fus.{i}.global_embedding"),
+            "global_act": _conv_norm(sd, f"sm.unet.loc_glo_fus.{i}.global_act"),
+        }
+    for i in range(D - 1):
+        unet[f"last_{i}"] = {
+            "local_embedding": _conv_norm(sd, f"sm.unet.last_layer.{i}.local_embedding"),
+            "global_embedding": _conv_norm(sd, f"sm.unet.last_layer.{i}.global_embedding"),
+            "global_act": _conv_norm(sd, f"sm.unet.last_layer.{i}.global_act"),
+        }
+    unet["globalatt"] = {
+        "attn": {
+            "attn_in_norm": _layer_norm(sd, "sm.unet.globalatt.attn.attn_in_norm"),
+            "attn": _mha(sd, "sm.unet.globalatt.attn.attn"),
+            "norm": _layer_norm(sd, "sm.unet.globalatt.attn.norm"),
+        },
+        "mlp": {
+            "fc1": _conv_norm(sd, "sm.unet.globalatt.mlp.fc1"),
+            "dwconv": _conv1d(sd, "sm.unet.globalatt.mlp.dwconv"),
+            "fc2": _conv_norm(sd, "sm.unet.globalatt.mlp.fc2"),
+        },
+    }
+    unet["res_conv"] = _pointwise(sd, "sm.unet.res_conv")
+    p["sm"] = {"unet": unet, "concat_block": _gate(sd, "sm.concat_block")}
+    p["mask_act"] = _prelu(sd, "mask_net.0")
+    p["mask_conv"] = _pointwise(sd, "mask_net.1")
+    p["decoder"] = {"kernel": sd["decoder.weight"]}
+    return {"params": p}
+
+
+def convert_dprnn_tasnet(sd: Dict[str, np.ndarray], layer: int = 6):
+    """Reference DPRNNTasNet (dprnn_old.py:400-516)."""
+    p: Dict = {}
+    p["encoder"] = {"kernel": sd["encoder._filters"][:, 0, :].T}
+    p["freq_norm"] = _norm(sd, "freq_norm")
+    p["BN"] = {"kernel": sd["freq_separator.BN.weight"][:, :, 0].T}
+    core: Dict = {}
+    for i in range(layer):
+        core[f"row_rnn_{i}"] = {
+            "rnn": _lstm(sd, f"freq_separator.DPRNN.row_rnn.{i}.rnn", bidirectional=True),
+            "proj": _dense(sd, f"freq_separator.DPRNN.row_rnn.{i}.proj"),
+        }
+        core[f"col_rnn_{i}"] = {
+            "rnn": _lstm(sd, f"freq_separator.DPRNN.col_rnn.{i}.rnn", bidirectional=True),
+            "proj": _dense(sd, f"freq_separator.DPRNN.col_rnn.{i}.proj"),
+        }
+        core[f"row_norm_{i}"] = _norm(sd, f"freq_separator.DPRNN.row_norm.{i}")
+        core[f"col_norm_{i}"] = _norm(sd, f"freq_separator.DPRNN.col_norm.{i}")
+    core["out_kernel"] = sd["freq_separator.DPRNN.output.weight"][:, :, 0, 0].T
+    core["out_bias"] = sd["freq_separator.DPRNN.output.bias"]
+    p["DPRNN"] = core
+    p["decoder"] = {"kernel": sd["decoder._filters"][:, 0, :]}
+    return {"params": p}
+
+
+def convert_sandglasset(sd: Dict[str, np.ndarray], n_repeats: int = 6):
+    """Reference Sandglasset (sandglasset.py:262-434)."""
+    p: Dict = {}
+    p["encoder"] = {"kernel": sd["encoder.weight"][:, 0, :].T}
+    p["enc_LN"] = _norm(sd, "enc_LN")
+    p["bottleneck"] = {"kernel": sd["bottleneck.weight"][:, :, 0].T}
+    p["seg_norm"] = _norm(sd, "seg_norm")
+    for i in range(n_repeats):
+        p[f"sep_{i}"] = {
+            "intra_rnn": _lstm(sd, f"sep_net.{i}.intra_RNN.rnn", bidirectional=True),
+            "intra_linear": _dense(sd, f"sep_net.{i}.intra_linear"),
+            "intra_norm": _norm(sd, f"sep_net.{i}.intra_norm"),
+            "attn_in_norm": _layer_norm(sd, f"sep_net.{i}.inter_RNN.attn_in_norm"),
+            "attn_layer": {
+                "attn": _mha(sd, f"sep_net.{i}.inter_RNN.attn_layer.0.attn"),
+                "norm": _layer_norm(sd, f"sep_net.{i}.inter_RNN.attn_layer.0.norm"),
+            },
+            "inter_norm": _norm(sd, f"sep_net.{i}.inter_norm"),
+        }
+    p["first_out_act"] = _prelu(sd, "first_out.0")
+    p["first_out_kernel"] = sd["first_out.1.weight"][:, :, 0, 0].T
+    p["first_out_bias"] = sd["first_out.1.bias"]
+    p["out_norm"] = _norm(sd, "out_norm")
+    p["decoder_kernel"] = sd["decoder.basis_lin.weight"].T
+    return {"params": p}
+
+
 CONVERTERS: Dict[str, Callable] = {
     "ConvTasNet": convert_convtasnet,
     "TasNet": convert_tasnet_dprnn,
+    "TasNetDPTNet": convert_tasnet_dptnet,
+    "BSRNN": convert_bsrnn,
+    "Sepformer": convert_sepformer,
+    "AFRCNN": convert_afrcnn,
+    "TDANet": convert_tdanet,
+    "DPRNNTasNet": convert_dprnn_tasnet,
+    "Sandglasset": convert_sandglasset,
 }
 
 

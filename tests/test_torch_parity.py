@@ -126,9 +126,8 @@ class TestConvParity:
         with torch.no_grad():
             want = tc(torch.from_numpy(x)).numpy()[:, 0]
         m = ConvTranspose1d(1, kernel_size=k, stride=s, use_bias=False)
-        # torch CT weight [in, out, k]; flax ConvTranspose kernel [k, in, out]
-        kernel = np.transpose(tc.weight.detach().numpy(), (2, 0, 1))
-        params = {"params": {"ConvTranspose_0": {"kernel": jnp_of(kernel)}}}
+        # torch CT weight [in, out, k] imports verbatim
+        params = {"params": {"kernel": jnp_of(tc.weight.detach().numpy())}}
         got = m.apply(params, jnp.asarray(x))[:, 0]
         np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
