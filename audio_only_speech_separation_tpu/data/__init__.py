@@ -48,3 +48,13 @@ def get(name):
     if obj is None:
         raise ValueError(f"Could not interpret datamodule identifier: {name}")
     return obj
+
+from .extra_datasets import AudioSlientDataset, AVSpeechDataset, MixITDataset  # noqa: E402
+from .transform import get_preprocessing_pipelines  # noqa: E402
+
+__all__ += [
+    "MixITDataset",
+    "AudioSlientDataset",
+    "AVSpeechDataset",
+    "get_preprocessing_pipelines",
+]

@@ -30,3 +30,7 @@ __all__ = [
     "ScalarLogger",
     "Trainer",
 ]
+
+from .loggers import CometLogger, CSVLogger, TensorBoardLogger, make_logger  # noqa: E402
+
+__all__ += ["CSVLogger", "TensorBoardLogger", "CometLogger", "make_logger"]
