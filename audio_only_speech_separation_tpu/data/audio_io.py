@@ -29,8 +29,25 @@ except ImportError:  # pragma: no cover
     HAVE_SOUNDFILE = False
 
 
+def _native():
+    from . import native
+
+    return native.get_lib() and native
+
+
 def read_wav(path: str, start: int = 0, stop: Optional[int] = None) -> np.ndarray:
-    """Read samples [start, stop) as float32 mono."""
+    """Read samples [start, stop) as float32 mono.
+
+    Backend preference: native C++ (native/wavio.cpp, GIL-free pread) →
+    soundfile → stdlib wave → scipy.
+    """
+    nat = _native()
+    if nat:
+        try:
+            count = -1 if stop is None else stop - start
+            return nat.read_window(path, start, count)
+        except (IOError, OSError):
+            pass  # non-PCM or exotic format: fall through
     if HAVE_SOUNDFILE:
         data, _ = _sf.read(path, start=start, stop=stop, dtype="float32")
         if data.ndim > 1:
