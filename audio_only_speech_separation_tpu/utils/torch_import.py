@@ -265,9 +265,12 @@ def _conv_norm_act(sd, prefix: str):
 
 
 def _gate(sd, prefix: str):
-    """Depthwise 1×1 concat_block Sequential(conv, PReLU)."""
+    """Depthwise 1×1 concat_block Sequential(conv, PReLU).
+
+    The conv is Conv1d [C,1,1] in TDANet/AFRCNN and Conv2d [C,1,1,1] in the
+    dual-path unfold gates — both flatten to a per-channel scale."""
     return {
-        "weight": sd[f"{prefix}.0.weight"][:, 0, 0],
+        "weight": sd[f"{prefix}.0.weight"].reshape(-1),
         "bias": sd[f"{prefix}.0.bias"],
         "act": _prelu(sd, f"{prefix}.1"),
     }
@@ -412,3 +415,155 @@ def convert(model_name: str, sd: Dict[str, np.ndarray], **kwargs):
             f"no torch converter for {model_name}; have {sorted(CONVERTERS)}"
         )
     return CONVERTERS[model_name](sd, **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# TasNet variants: GroupComm (group_size>1), unfold weight sharing, and the
+# TCN / SudoRM-RF separator modules (reference gc3_network.py:58-96).
+# ---------------------------------------------------------------------------
+
+
+def _projrnn(sd, prefix: str, bidirectional: bool = True):
+    return {
+        "rnn": _lstm(sd, f"{prefix}.rnn", bidirectional=bidirectional),
+        "proj": _dense(sd, f"{prefix}.proj"),
+    }
+
+
+def _tac(sd, prefix: str):
+    """Reference TAC (gc3_basics.py:28-60) → blocks.tac.TAC params."""
+    return {
+        "transform": _dense(sd, f"{prefix}.TAC_input.0"),
+        "act_in": _prelu(sd, f"{prefix}.TAC_input.1"),
+        "average": _dense(sd, f"{prefix}.TAC_mean.0"),
+        "act_mean": _prelu(sd, f"{prefix}.TAC_mean.1"),
+        "concat": _dense(sd, f"{prefix}.TAC_output.0"),
+        "act_out": _prelu(sd, f"{prefix}.TAC_output.1"),
+        "norm": _norm(sd, f"{prefix}.TAC_norm"),
+    }
+
+
+def _gc_rnn(sd, prefix: str, num_layers: int = 2):
+    out = {}
+    for i in range(num_layers):
+        out[f"tac_{i}"] = _tac(sd, f"{prefix}.TAC.{i}")
+        out[f"rnn_{i}"] = _projrnn(sd, f"{prefix}.rnn.{i}", bidirectional=True)
+        out[f"norm_{i}"] = _norm(sd, f"{prefix}.LN.{i}")
+    return out
+
+
+def convert_tasnet(
+    sd: Dict[str, np.ndarray],
+    module: str = "DPRNN",
+    layer: int = 6,
+    group_size: int = 1,
+    unfold: bool = False,
+):
+    """General TasNet converter covering all separator modules + GroupComm
+    + unfold (supersedes convert_tasnet_dprnn/convert_tasnet_dptnet)."""
+    p: Dict = {}
+    p["encoder"] = {"kernel": sd["encoder.weight"][:, 0, :].T}
+    p["bn_norm"] = _norm(sd, "bottleneck.0")
+    p["bn_conv"] = {"kernel": sd["bottleneck.1.weight"][:, :, 0].T}
+    if group_size > 1:
+        p["context_enc"] = _gc_rnn(sd, "context_enc", 2)
+        p["context_dec"] = _gc_rnn(sd, "context_dec", 2)
+
+    if module in ("DPRNN", "DPTNet"):
+        pre = "seq_model.seq_model"
+        core: Dict = {}
+        if group_size > 1:
+            for i in range(layer):
+                core[f"tac_{i}"] = _tac(sd, f"{pre}.TAC.{i}")
+        if module == "DPRNN":
+            if unfold:
+                core["row_rnn_shared"] = _projrnn(sd, f"{pre}.row_rnn.0")
+                core["col_rnn_shared"] = _projrnn(sd, f"{pre}.col_rnn.0")
+                core["row_norm_shared"] = _norm(sd, f"{pre}.row_norm.0")
+                core["col_norm_shared"] = _norm(sd, f"{pre}.col_norm.0")
+                core["concat_block"] = _gate(sd, f"{pre}.concat_block")
+            else:
+                for i in range(layer):
+                    core[f"row_rnn_{i}"] = _projrnn(sd, f"{pre}.row_rnn.{i}")
+                    core[f"col_rnn_{i}"] = _projrnn(sd, f"{pre}.col_rnn.{i}")
+                    core[f"row_norm_{i}"] = _norm(sd, f"{pre}.row_norm.{i}")
+                    core[f"col_norm_{i}"] = _norm(sd, f"{pre}.col_norm.{i}")
+        else:  # DPTNet
+
+            def _xfmr(prefix):
+                return {
+                    "self_attn": _mha(sd, f"{prefix}.self_attn"),
+                    "norm1": _layer_norm(sd, f"{prefix}.norm1"),
+                    "ffn_lstm": _lstm(sd, f"{prefix}.linear1", bidirectional=True),
+                    "ffn_proj": _dense(sd, f"{prefix}.linear2"),
+                    "norm2": _layer_norm(sd, f"{prefix}.norm2"),
+                }
+
+            if unfold:
+                core["row_xfmr_shared"] = _xfmr(f"{pre}.row_xfmr.0.transformer")
+                core["col_xfmr_shared"] = _xfmr(f"{pre}.col_xfmr.0.transformer")
+                core["concat_block"] = _gate(sd, f"{pre}.concat_block")
+            else:
+                for i in range(layer):
+                    core[f"row_xfmr_{i}"] = _xfmr(f"{pre}.row_xfmr.{i}.transformer")
+                    core[f"col_xfmr_{i}"] = _xfmr(f"{pre}.col_xfmr.{i}.transformer")
+        core["out_kernel"] = sd[f"{pre}.output.weight"][:, :, 0, 0].T
+        core["out_bias"] = sd[f"{pre}.output.bias"]
+        p["seq_model"] = core
+
+    elif module in ("TCN", "GC_TCN"):
+        pre = "seq_model.tcn"
+        core = {}
+        n_blocks = layer * 2  # stack=2 (gc3_network.py:82)
+        if module == "TCN":
+            core["LN"] = _norm(sd, f"{pre}.LN")
+            core["BN"] = _pointwise(sd, f"{pre}.BN")
+            core["out_act"] = _prelu(sd, f"{pre}.output.0")
+            core["out_conv"] = _pointwise(sd, f"{pre}.output.1")
+        else:
+            for i in range(n_blocks):
+                core[f"tac_{i}"] = _tac(sd, f"{pre}.TAC.{i}")
+            core["out_conv"] = _pointwise(sd, f"{pre}.output")
+        for i in range(n_blocks):
+            bp = f"{pre}.TCN.{i}"
+            core[f"block_{i}"] = {
+                "conv1d": _pointwise(sd, f"{bp}.conv1d"),
+                "dconv1d": _conv1d(sd, f"{bp}.dconv1d"),
+                "res_out": _pointwise(sd, f"{bp}.res_out"),
+                "skip_out": _pointwise(sd, f"{bp}.skip_out"),
+                "act1": _prelu(sd, f"{bp}.nonlinearity1"),
+                "act2": _prelu(sd, f"{bp}.nonlinearity2"),
+                "reg1": _norm(sd, f"{bp}.reg1"),
+                "reg2": _norm(sd, f"{bp}.reg2"),
+            }
+        p["seq_model"] = core
+
+    elif module in ("SudoRMRF", "GC_SudoRMRF"):
+
+        def _ublock(prefix, depth=5):
+            out = {
+                "proj_1x1": _conv_norm_act(sd, f"{prefix}.proj_1x1"),
+                "final_norm": _norm(sd, f"{prefix}.final_norm.norm"),
+                "final_act": _prelu(sd, f"{prefix}.final_norm.act"),
+                "res_conv": _pointwise(sd, f"{prefix}.res_conv"),
+            }
+            for k in range(depth):
+                out[f"spp_{k}"] = _conv_norm(sd, f"{prefix}.spp_dw.{k}")
+            return out
+
+        for i in range(layer):
+            pre = f"seq_model.sudo_rmrf_layers.{i}"
+            if module == "GC_SudoRMRF":
+                p[f"seq_model_{i}"] = {
+                    "tac": _tac(sd, f"{pre}.TAC"),
+                    "ublock": _ublock(f"{pre}.UBlock"),
+                }
+            else:
+                p[f"seq_model_{i}"] = _ublock(pre)
+
+    p["mask_conv"] = _pointwise(sd, "mask.0")
+    p["decoder"] = {"kernel": sd["decoder.weight"][:, 0, :]}
+    return {"params": p}
+
+
+CONVERTERS["TasNetFull"] = convert_tasnet
