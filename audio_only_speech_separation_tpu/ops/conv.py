@@ -77,8 +77,9 @@ class ConvEncoder(nn.Module):
         )
         frames = frame_signal(x, self.win, self.stride)  # [B, n, win]
         y = jnp.einsum(
-            "bnw,wc->bnc", frames, w, preferred_element_type=frames.dtype
-        )
+            "bnw,wc->bnc", frames, w.astype(frames.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(frames.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             y = y + b
@@ -104,8 +105,8 @@ class ConvDecoder(nn.Module):
             (self.in_channels, self.win),
         )
         frames = jnp.einsum(
-            "bcn,cw->bnw", x, w, preferred_element_type=x.dtype
-        )  # [B, n, win]
+            "bcn,cw->bnw", x, w.astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)  # [B, n, win]
         return overlap_add(frames, self.stride)
 
 
@@ -166,8 +167,8 @@ class ConvTranspose1d(nn.Module):
             (C, self.out_channels, self.kernel_size),
         )
         frames = jnp.einsum(
-            "bct,cok->botk", x, w, preferred_element_type=x.dtype
-        )  # [B, out, T, k]
+            "bct,cok->botk", x, w.astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)  # [B, out, T, k]
         out = overlap_add(
             frames.reshape(B * self.out_channels, T, self.kernel_size), self.stride
         ).reshape(B, self.out_channels, -1)
@@ -190,7 +191,9 @@ class PointwiseConv(nn.Module):
             nn.initializers.lecun_normal(),
             (x.shape[1], self.out_channels),
         )
-        y = jnp.einsum("bct,cd->bdt", x, w, preferred_element_type=x.dtype)
+        y = jnp.einsum(
+            "bct,cd->bdt", x, w.astype(x.dtype), preferred_element_type=jnp.float32
+        ).astype(x.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             y = y + b[None, :, None]

@@ -18,9 +18,11 @@ import jax.numpy as jnp
 
 
 def _moments(x, axes):
-    mean = jnp.mean(x, axis=axes, keepdims=True)
+    # statistics in float32 even under bf16 compute (mixed-precision policy)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
     # biased variance (torch unbiased=False), matching the reference
-    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
     return mean, var
 
 
@@ -38,7 +40,7 @@ class GlobalLayerNorm(nn.Module):
     def __call__(self, x):  # x: [B, C, T] (or [B, C, *spatial])
         axes = tuple(range(1, x.ndim))
         mean, var = _moments(x, axes)
-        y = (x - mean) / jnp.sqrt(var + self.eps)
+        y = ((x.astype(jnp.float32) - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
         shape = (1, self.channels) + (1,) * (x.ndim - 2)
         gamma = self.param("gamma", nn.initializers.ones, (self.channels,))
         beta = self.param("beta", nn.initializers.zeros, (self.channels,))
@@ -59,7 +61,7 @@ class FrameLayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x):  # [B, C, T]
         mean, var = _moments(x, (1,))
-        y = (x - mean) / jnp.sqrt(var + self.eps)
+        y = ((x.astype(jnp.float32) - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
         gamma = self.param("gamma", nn.initializers.ones, (self.channels,))
         beta = self.param("beta", nn.initializers.zeros, (self.channels,))
         shape = (1, self.channels) + (1,) * (x.ndim - 2)

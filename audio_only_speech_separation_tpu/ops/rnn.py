@@ -37,14 +37,18 @@ def lstm_scan(
     """Single-direction LSTM; returns hidden states [B, T, H]."""
     B, T, D = x.shape
     H = w_hh.shape[0]
-    xw = jnp.einsum("btd,dg->btg", x, w_ih, preferred_element_type=x.dtype)
+    xw = jnp.einsum(
+        "btd,dg->btg", x, w_ih.astype(x.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
     if bias is not None:
         xw = xw + bias
     xw = jnp.swapaxes(xw, 0, 1)  # [T, B, 4H]
 
     def step(carry, xt):
         h, c = carry
-        gates = xt + jnp.einsum("bh,hg->bg", h, w_hh, preferred_element_type=h.dtype)
+        gates = xt + jnp.einsum(
+            "bh,hg->bg", h, w_hh.astype(h.dtype), preferred_element_type=jnp.float32
+        ).astype(h.dtype)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
@@ -72,7 +76,9 @@ def bilstm_scan(
     H = w_hh.shape[1]
     # Stack forward and time-reversed copies on a direction axis.
     xx = jnp.stack([x, x[:, ::-1]], axis=0)  # [2, B, T, D]
-    xw = jnp.einsum("kbtd,kdg->kbtg", xx, w_ih, preferred_element_type=x.dtype)
+    xw = jnp.einsum(
+        "kbtd,kdg->kbtg", xx, w_ih.astype(x.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)
     if bias is not None:
         xw = xw + bias[:, None, None, :]
     xw = jnp.moveaxis(xw, 2, 0)  # [T, 2, B, 4H]
@@ -80,8 +86,8 @@ def bilstm_scan(
     def step(carry, xt):
         h, c = carry  # [2, B, H]
         gates = xt + jnp.einsum(
-            "kbh,khg->kbg", h, w_hh, preferred_element_type=h.dtype
-        )
+            "kbh,khg->kbg", h, w_hh.astype(h.dtype), preferred_element_type=jnp.float32
+        ).astype(h.dtype)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h = jax.nn.sigmoid(o) * jnp.tanh(c)

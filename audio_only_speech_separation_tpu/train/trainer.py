@@ -108,6 +108,7 @@ class Trainer:
         test_every: int = 10,
         seed: int = 42,
         donate: bool = True,
+        precision: str = "float32",
     ):
         self.exp_dir = exp_dir
         self.epochs = epochs
@@ -115,6 +116,8 @@ class Trainer:
         self.seed = seed
         self.test_every = test_every
         self.donate = donate
+        assert precision in ("float32", "bfloat16")
+        self.precision = precision
         es = dict(early_stop or {})
         es.setdefault("monitor", "val_loss/dataloader_idx_0")
         self.early_stop = EarlyStopping(**es)
@@ -134,9 +137,23 @@ class Trainer:
         train_loss = system.loss_func["train"]
         val_loss = system.loss_func["val"]
 
+        bf16 = self.precision == "bfloat16"
+
         def _loss(params, batch, loss_func):
             mix, sources = batch
-            est = model.apply(params, mix)
+            if bf16:
+                # mixed precision: bf16 forward/backward, f32 master params,
+                # loss always in f32 (the cast has a well-defined VJP)
+                p = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if hasattr(x, "dtype") and x.dtype == jnp.float32
+                    else x,
+                    params,
+                )
+                est = model.apply(p, mix.astype(jnp.bfloat16))
+                est = est.astype(jnp.float32)
+            else:
+                est = model.apply(params, mix)
             return loss_func(est, sources)
 
         @partial(jax.jit, donate_argnums=(0, 1) if self.donate else ())
