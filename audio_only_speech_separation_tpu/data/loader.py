@@ -34,6 +34,7 @@ class DataLoader:
         seed: int = 0,
         shard_id: int = 0,
         num_shards: int = 1,
+        pad_to_max: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -44,6 +45,7 @@ class DataLoader:
         self.seed = seed
         self.shard_id = shard_id
         self.num_shards = num_shards
+        self.pad_to_max = pad_to_max  # right-pad variable-length items
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -70,6 +72,12 @@ class DataLoader:
 
     def _collate(self, items) -> Tuple[np.ndarray, np.ndarray, List[str]]:
         mixes, sources, keys = zip(*items)
+        if self.pad_to_max:
+            T = max(m.shape[-1] for m in mixes)
+            mixes = [np.pad(m, (0, T - m.shape[-1])) for m in mixes]
+            sources = [
+                np.pad(s, ((0, 0), (0, T - s.shape[-1]))) for s in sources
+            ]
         return (
             np.stack(mixes).astype(np.float32),
             np.stack(sources).astype(np.float32),
@@ -86,13 +94,26 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    items = list(pool.map(self.dataset.__getitem__, b))
-                    q.put(self._collate(items))
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__, b))
+                        # bounded put that aborts if the consumer went away,
+                        # so abandoned iterators never leak a blocked thread
+                        while not stop.is_set():
+                            try:
+                                q.put(self._collate(items), timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+                q.put(None)
+            except BaseException as e:  # surface worker errors to the consumer
+                try:
+                    q.put(e, timeout=1.0)
+                except queue.Full:
+                    pass
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -101,6 +122,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

@@ -1,0 +1,271 @@
+"""Fused ConvTasNet TCN separator — one Pallas kernel for all R×X blocks.
+
+Why: the XLA version of the 24-block TCN is HBM-bandwidth-bound — every
+block round-trips ~8 activation tensors of [B, 512, T] through HBM
+(measured ~650 GB/s sustained, i.e. at the roof).  This kernel keeps the
+[T, 128] block input resident in VMEM for an entire sample and the [T, 512]
+hidden state in VMEM for an entire block, so HBM sees only: x once in,
+weights once per block, y once out — a ~100× traffic reduction for the
+separator body.
+
+Per grid step (= one batch sample), per block:
+  P1  h = PReLU(x @ W1 + b1)      tiles of [Tt, 128] @ [128, 512] (MXU),
+                                  accumulating Σh, Σh² for gLN-1
+  --  gLN-1 is an affine per-channel map given the stats; it is FOLDED into
+      the depthwise weights (dw'ₖ = dwₖ·scale, bias' folds the shift), so
+      no normalization pass over h is needed
+  P2  stats of PReLU(dw'(h))      3 shifted reads per tile, Σ, Σ²
+  P3  y += (PReLU(dw'(h))·scale2 + shift2) @ Ws + bs   (recompute dw',
+      normalize with gLN-2 stats, sconv back to 128, residual into y)
+
+Mosaic requires dynamically indexed VMEM loads to be tile-aligned, so the
+dilated depthwise conv loads the aligned mid tile plus two aligned 128-row
+neighbor strips and builds the ±d shifts with STATIC in-register slices
+(dilations are compile-time constants; halo PAD = 128 ≥ 2^7).  gLN
+statistics are computed in f32; activations are stored bf16.
+
+Numerical contract matches models.convtasnet.Conv1DBlock (gLN, torch PReLU
+single-alpha, eps 1e-8) to bf16 tolerance — verified in
+tests/test_pallas_kernels.py against the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PAD = 128  # halo ≥ max dilation (2^7 for X=8); also the alignment quantum
+TILE = 1024
+
+# vecs packing rows (f32 [nb, 16, 512]):
+_B1, _DWB, _G1, _BT1, _G2, _BT2, _DW0, _DW1, _DW2 = range(9)
+
+
+def _kernel(
+    # scalar prefetch
+    a_ref,  # SMEM [nb, 2] f32: prelu alphas (a1, a2)
+    # inputs
+    x_ref,  # VMEM [1, Tpad, 128] bf16 (zero-padded rows ≥ T)
+    w1_hbm,  # ANY [nb, 128, 512] bf16
+    ws_hbm,  # ANY [nb, 512, 128] bf16
+    vec_hbm,  # ANY [nb, 16, 512] f32
+    wsb_ref,  # VMEM [nb, 128] f32
+    # outputs
+    y_ref,  # VMEM [1, Tpad, 128] bf16
+    # scratch
+    h_ref,  # VMEM [PAD + Tpad + PAD, 512] bf16
+    w1_ref,  # VMEM [128, 512] bf16
+    ws_ref,  # VMEM [512, 128] bf16
+    vec_ref,  # VMEM [16, 512] f32
+    sem,  # DMA semaphores (3,)
+    *,
+    dilations: Sequence[int],
+    T: int,
+    Tpad: int,
+):
+    n_tiles = Tpad // TILE
+    inv_count = 1.0 / (float(T) * 512.0)
+    eps = 1e-8
+
+    # zero the halos once per sample; the tail rows [T, Tpad) are written as
+    # zeros by P1's row mask every block
+    h_ref[0:PAD, :] = jnp.zeros((PAD, 512), jnp.bfloat16)
+    h_ref[PAD + Tpad : PAD + Tpad + PAD, :] = jnp.zeros((PAD, 512), jnp.bfloat16)
+
+    # y starts as x (the residual accumulator lives in y)
+    y_ref[0, :, :] = x_ref[0, :, :]
+
+    for b, d in enumerate(dilations):
+        c1 = pltpu.make_async_copy(w1_hbm.at[b], w1_ref, sem.at[0])
+        c2 = pltpu.make_async_copy(ws_hbm.at[b], ws_ref, sem.at[1])
+        c3 = pltpu.make_async_copy(vec_hbm.at[b], vec_ref, sem.at[2])
+        c1.start(); c2.start(); c3.start()
+        c1.wait(); c2.wait(); c3.wait()
+        a1 = a_ref[b, 0]
+        a2 = a_ref[b, 1]
+
+        # ---- P1: h = prelu(y @ W1 + b1); accumulate gLN-1 stats -----------
+        def p1_body(i, carry):
+            s, q = carry
+            xt = y_ref[0, pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :]
+            ht = jax.lax.dot_general(
+                xt, w1_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ht = ht + vec_ref[_B1, :][None, :]
+            ht = jnp.where(ht >= 0, ht, a1 * ht)
+            row = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
+            ht = jnp.where(row < T, ht, 0.0)
+            h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :] = ht.astype(
+                jnp.bfloat16
+            )
+            return s + jnp.sum(ht), q + jnp.sum(ht * ht)
+
+        s1, q1 = jax.lax.fori_loop(
+            0, n_tiles, p1_body, (jnp.float32(0.0), jnp.float32(0.0))
+        )
+        mean1 = s1 * inv_count
+        rstd1 = jax.lax.rsqrt(q1 * inv_count - mean1 * mean1 + eps)
+        # fold gLN-1 (per-channel affine) into the depthwise taps:
+        # norm1(h) = h·sc1 + sh1;  dw(norm1 h) = Σₖ(dwₖ·sc1)⊙h_±d + (Σₖdwₖ)·sh1 + dwb
+        sc1 = vec_ref[_G1, :] * rstd1  # [512]
+        sh1 = vec_ref[_BT1, :] - mean1 * sc1
+        dw0 = vec_ref[_DW0, :] * sc1
+        dw1 = vec_ref[_DW1, :] * sc1
+        dw2 = vec_ref[_DW2, :] * sc1
+        dwb = (
+            vec_ref[_DWB, :]
+            + (vec_ref[_DW0, :] + vec_ref[_DW1, :] + vec_ref[_DW2, :]) * sh1
+        )
+        # Boundary correction: the reference zero-pads AFTER normalization,
+        # so the folded sh1 term must not be contributed by out-of-range
+        # taps (first d rows: left tap; last d rows: right tap).
+        corr_l = vec_ref[_DW0, :] * sh1
+        corr_r = vec_ref[_DW2, :] * sh1
+
+        def dw_tile(i):
+            """prelu(dw'(h)) for tile i, f32 [TILE, 512].
+
+            Aligned loads + static in-register shifts (d is a python int).
+            """
+            mid = h_ref[
+                pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :
+            ].astype(jnp.float32)
+            prev = h_ref[pl.ds(pl.multiple_of(i * TILE, PAD), PAD), :].astype(
+                jnp.float32
+            )
+            nxt = h_ref[
+                pl.ds(pl.multiple_of(PAD + (i + 1) * TILE, PAD), PAD), :
+            ].astype(jnp.float32)
+            left = jnp.concatenate([prev[PAD - d :], mid[: TILE - d]], axis=0)
+            right = jnp.concatenate([mid[d:], nxt[:d]], axis=0)
+            t = left * dw0[None, :] + mid * dw1[None, :] + right * dw2[None, :]
+            t = t + dwb[None, :]
+            rowv = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
+            t = t - jnp.where(rowv < d, corr_l[None, :], 0.0)
+            t = t - jnp.where(rowv >= T - d, corr_r[None, :], 0.0)
+            return jnp.where(t >= 0, t, a2 * t)
+
+        # ---- P2: gLN-2 stats over prelu(dw'(h)) ---------------------------
+        def p2_body(i, carry):
+            s, q = carry
+            t = dw_tile(i)
+            row = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
+            t = jnp.where(row < T, t, 0.0)
+            return s + jnp.sum(t), q + jnp.sum(t * t)
+
+        s2, q2 = jax.lax.fori_loop(
+            0, n_tiles, p2_body, (jnp.float32(0.0), jnp.float32(0.0))
+        )
+        mean2 = s2 * inv_count
+        rstd2 = jax.lax.rsqrt(q2 * inv_count - mean2 * mean2 + eps)
+        sc2 = vec_ref[_G2, :] * rstd2
+        sh2 = vec_ref[_BT2, :] - mean2 * sc2
+
+        # ---- P3: y += (norm2(prelu(dw'(h)))) @ Ws + bs --------------------
+        def p3_body(i, _):
+            t = dw_tile(i) * sc2[None, :] + sh2[None, :]
+            r = jax.lax.dot_general(
+                t.astype(jnp.bfloat16), ws_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            r = r + wsb_ref[b, :][None, :]
+            sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
+            yt = y_ref[0, sl, :]
+            y_ref[0, sl, :] = (yt.astype(jnp.float32) + r).astype(jnp.bfloat16)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, p3_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("dilations", "T_valid"))
+def fused_tcn_separator(
+    x: jnp.ndarray,  # [B, T, 128] bf16 (channels-last)
+    w1s: jnp.ndarray,  # [nb, 128, 512] bf16
+    wss: jnp.ndarray,  # [nb, 512, 128] bf16
+    vecs: jnp.ndarray,  # [nb, 16, 512] f32 (packed per-block vectors)
+    wsbs: jnp.ndarray,  # [nb, 128] f32
+    alphas: jnp.ndarray,  # [nb, 2] f32
+    dilations: Sequence[int],
+    T_valid: int | None = None,
+):
+    B, T, Cb = x.shape
+    assert Cb == 128 and w1s.shape[1:] == (128, 512), "kernel is specialized"
+    T_valid = T if T_valid is None else T_valid
+    Tpad = -(-T // TILE) * TILE
+    if Tpad != T:
+        x = jnp.pad(x, ((0, 0), (0, Tpad - T), (0, 0)))
+
+    kernel = functools.partial(
+        _kernel, dilations=tuple(dilations), T=T_valid, Tpad=Tpad
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # alphas
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Tpad, Cb), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Tpad, Cb), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((PAD + Tpad + PAD, 512), jnp.bfloat16),
+            pltpu.VMEM((128, 512), jnp.bfloat16),
+            pltpu.VMEM((512, 128), jnp.bfloat16),
+            pltpu.VMEM((16, 512), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    y = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Tpad, Cb), jnp.bfloat16),
+        grid_spec=grid_spec,
+    )(alphas, x.astype(jnp.bfloat16), w1s, wss, vecs, wsbs)
+    return y[:, :T, :]
+
+
+def pack_convtasnet_tcn_params(params, R: int, X: int):
+    """Extract + pack the tcn_{r}_{i} params from a ConvTasNet param tree
+    into the stacked arrays the fused kernel consumes."""
+    p = params["params"] if "params" in params else params
+    w1s, wss, vecs, wsbs, alphas, dils = [], [], [], [], [], []
+    for r in range(R):
+        for i in range(X):
+            blk = p[f"tcn_{r}_{i}"]
+            w1s.append(np.asarray(blk["conv1x1"]["kernel"]))  # [128, 512]
+            wss.append(np.asarray(blk["sconv"]["kernel"]))  # [512, 128]
+            v = np.zeros((16, 512), np.float32)
+            v[_B1] = np.asarray(blk["conv1x1"]["bias"])
+            v[_DWB] = np.asarray(blk["dwconv"]["Conv_0"]["bias"])
+            v[_G1] = np.asarray(blk["norm1"]["gamma"])
+            v[_BT1] = np.asarray(blk["norm1"]["beta"])
+            v[_G2] = np.asarray(blk["norm2"]["gamma"])
+            v[_BT2] = np.asarray(blk["norm2"]["beta"])
+            dw = np.asarray(blk["dwconv"]["Conv_0"]["kernel"])  # [3, 1, 512]
+            v[_DW0], v[_DW1], v[_DW2] = dw[0, 0], dw[1, 0], dw[2, 0]
+            vecs.append(v)
+            wsbs.append(np.asarray(blk["sconv"]["bias"]))
+            alphas.append(
+                [float(blk["act1"]["alpha"][0]), float(blk["act2"]["alpha"][0])]
+            )
+            dils.append(2**i)
+    return (
+        jnp.asarray(np.stack(w1s), jnp.bfloat16),
+        jnp.asarray(np.stack(wss), jnp.bfloat16),
+        jnp.asarray(np.stack(vecs), jnp.float32),
+        jnp.asarray(np.stack(wsbs), jnp.float32),
+        jnp.asarray(np.asarray(alphas, np.float32)),
+        tuple(dils),
+    )

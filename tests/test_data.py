@@ -113,7 +113,7 @@ class TestDataLoader:
         ds = datas.LRS2Dataset(
             os.path.join(manifest_dir, "tr"), n_src=2, sample_rate=8000, segment=None
         )
-        loader = datas.DataLoader(ds, batch_size=6, shuffle=True, num_workers=1, seed=1)
+        loader = datas.DataLoader(ds, batch_size=6, shuffle=True, num_workers=1, seed=1, pad_to_max=True)
         loader.set_epoch(0)
         k0 = list(loader)[0][2]
         loader.set_epoch(1)
@@ -128,7 +128,8 @@ class TestDataLoader:
         keys = []
         for shard in range(2):
             loader = datas.DataLoader(
-                ds, batch_size=3, num_workers=1, shard_id=shard, num_shards=2
+                ds, batch_size=3, num_workers=1, shard_id=shard, num_shards=2,
+                pad_to_max=True,
             )
             for b in loader:
                 keys.extend(b[2])
