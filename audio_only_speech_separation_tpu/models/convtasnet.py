@@ -120,3 +120,66 @@ class ConvTasNet(BaseModel):
         s = s[:, win - pad_stride : s.shape[-1] - (rest + win - pad_stride)]
         out = s.reshape(Bsz, self.num_spks, -1)
         return restore_output(out, was_one_d)
+
+
+def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
+    """bf16 inference forward using the fused Pallas TCN separator.
+
+    Encoder/bottleneck/mask/decoder run in XLA; the R×X Conv1DBlock body —
+    the bandwidth-bound bulk of the model — runs in ONE Pallas kernel (see
+    ops/pallas/convtasnet_block.py).  Only the standard config shape
+    (B=128, H=512, P=3) is supported; anything else falls back to
+    ``model.apply``.
+
+    ``packed`` (from ``pack_fused_params``) can be precomputed once to avoid
+    re-packing weights per call.
+    """
+    import jax
+
+    from ..ops.pallas.convtasnet_block import (
+        fused_tcn_separator,
+        pack_convtasnet_tcn_params,
+    )
+
+    if not (model.B == 128 and model.H == 512 and model.P == 3 and not model.causal):
+        return model.apply(params, wav)
+    if packed is None:
+        packed = pack_convtasnet_tcn_params(params, model.R, model.X)
+    w1s, wss, vecs, wsbs, alphas, dils = packed
+
+    p = params["params"] if "params" in params else params
+    pb = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, p
+    )
+
+    x, was_one_d = normalize_input(wav)
+    x = x.astype(jnp.bfloat16)
+    win, pad_stride = model.L, model.L // 2
+    fb_stride = model.L // 4
+    Bsz, T = x.shape
+    rest = win - (pad_stride + T % win) % win
+    if rest > 0:
+        x = jnp.pad(x, ((0, 0), (0, rest)))
+    x = jnp.pad(x, ((0, 0), (win - pad_stride, win - pad_stride)))
+
+    enc = ConvEncoder(model.N, win, fb_stride, name="encoder").apply(
+        {"params": pb["encoder"]}, x
+    )
+    times = enc.shape[-1]
+    w = GlobalLayerNorm(model.N).apply({"params": pb["bn_norm"]}, enc)
+    w = PointwiseConv(model.B).apply({"params": pb["bn_conv"]}, w)
+
+    # fused TCN: channels-last in/out
+    w = jnp.swapaxes(w, 1, 2)  # [B, T', 128]
+    w = fused_tcn_separator(w, w1s, wss, vecs, wsbs, alphas, dils)
+    w = jnp.swapaxes(w, 1, 2)
+
+    m = PointwiseConv(model.N * model.num_spks).apply({"params": pb["mask_conv"]}, w)
+    m = nn.relu(m) if model.activate == "relu" else jax.nn.sigmoid(m)
+    d = enc[:, None] * m.reshape(Bsz, model.num_spks, model.N, times)
+    s = ConvDecoder(model.N, win, fb_stride, name="decoder").apply(
+        {"params": pb["decoder"]}, d.reshape(Bsz * model.num_spks, model.N, times)
+    )
+    s = s[:, win - pad_stride : s.shape[-1] - (rest + win - pad_stride)]
+    out = s.reshape(Bsz, model.num_spks, -1)
+    return restore_output(out, was_one_d)

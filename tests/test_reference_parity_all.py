@@ -55,7 +55,7 @@ class TestDPTNetParity:
         ref = ref_models.TasNet(**kw)
         x = rng.normal(size=(1, 1600)).astype(np.float32)
         params = convert("TasNetDPTNet", sd_of(ref), layer=2)
-        run_both(ref, TasNet(**kw), params, x)
+        run_both(ref, TasNet(**kw), params, x, atol=5e-4)
 
 
 class TestBSRNNParity:
