@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 PAD = 128  # halo ≥ max dilation (2^7 for X=8); also the alignment quantum
-TILE = 1024
+TILE = 2048
 
 # vecs packing rows (f32 [nb, 16, 512]):
 _B1, _DWB, _G1, _BT1, _G2, _BT2, _DW0, _DW1, _DW2 = range(9)
@@ -60,10 +60,10 @@ def _kernel(
     y_ref,  # VMEM [1, Tpad, 128] bf16
     # scratch
     h_ref,  # VMEM [PAD + Tpad + PAD, 512] bf16
-    w1_ref,  # VMEM [128, 512] bf16
-    ws_ref,  # VMEM [512, 128] bf16
-    vec_ref,  # VMEM [16, 512] f32
-    sem,  # DMA semaphores (3,)
+    w1_buf,  # VMEM [2, 128, 512] bf16 (double-buffered weight stage)
+    ws_buf,  # VMEM [2, 512, 128] bf16
+    vec_buf,  # VMEM [2, 16, 512] f32
+    sem,  # DMA semaphores (2, 3)
     *,
     dilations: Sequence[int],
     T: int,
@@ -81,12 +81,28 @@ def _kernel(
     # y starts as x (the residual accumulator lives in y)
     y_ref[0, :, :] = x_ref[0, :, :]
 
+    n_blocks = len(dilations)
+
+    def start_weight_dma(b, slot):
+        copies = (
+            pltpu.make_async_copy(w1_hbm.at[b], w1_buf.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(ws_hbm.at[b], ws_buf.at[slot], sem.at[slot, 1]),
+            pltpu.make_async_copy(vec_hbm.at[b], vec_buf.at[slot], sem.at[slot, 2]),
+        )
+        for c in copies:
+            c.start()
+        return copies
+
+    inflight = {0: start_weight_dma(0, 0)}
     for b, d in enumerate(dilations):
-        c1 = pltpu.make_async_copy(w1_hbm.at[b], w1_ref, sem.at[0])
-        c2 = pltpu.make_async_copy(ws_hbm.at[b], ws_ref, sem.at[1])
-        c3 = pltpu.make_async_copy(vec_hbm.at[b], vec_ref, sem.at[2])
-        c1.start(); c2.start(); c3.start()
-        c1.wait(); c2.wait(); c3.wait()
+        slot = b % 2
+        for c in inflight.pop(b):
+            c.wait()
+        if b + 1 < n_blocks:
+            inflight[b + 1] = start_weight_dma(b + 1, (b + 1) % 2)
+        w1_ref = w1_buf.at[slot]
+        ws_ref = ws_buf.at[slot]
+        vec_ref = vec_buf.at[slot]
         a1 = a_ref[b, 0]
         a2 = a_ref[b, 1]
 
@@ -222,10 +238,10 @@ def fused_tcn_separator(
         ),
         scratch_shapes=[
             pltpu.VMEM((PAD + Tpad + PAD, 512), jnp.bfloat16),
-            pltpu.VMEM((128, 512), jnp.bfloat16),
-            pltpu.VMEM((512, 128), jnp.bfloat16),
-            pltpu.VMEM((16, 512), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, 128, 512), jnp.bfloat16),
+            pltpu.VMEM((2, 512, 128), jnp.bfloat16),
+            pltpu.VMEM((2, 16, 512), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
     y = pl.pallas_call(

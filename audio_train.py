@@ -44,10 +44,18 @@ def build_loss(loss_conf: dict):
 
 
 def main(config):
+    import jax
+
     print_only("Instantiating datamodule <{}>".format(config["datamodule"]["data_name"]))
     shard_id, num_shards = local_shard_info()
+    # config batch_size is PER-DEVICE (the reference's batch_size is per-GPU
+    # under DDP, audio_train.py:126); the host loader assembles the local
+    # global batch = per-device × local device count
+    data_config = dict(config["datamodule"]["data_config"])
+    n_local = jax.local_device_count()
+    data_config["batch_size"] = data_config.get("batch_size", 1) * n_local
     datamodule = datas.get(config["datamodule"]["data_name"])(
-        **config["datamodule"]["data_config"],
+        **data_config,
         shard_id=shard_id,
         num_shards=num_shards,
     )
@@ -117,6 +125,7 @@ def main(config):
         mesh=make_mesh(),
         logger_dir=logger_dir,
         checkpoint={"monitor": "val_loss/dataloader_idx_0", "mode": "min", "save_top_k": 5},
+        precision=config["training"].get("precision", "float32"),
     )
     trainer.fit(system)
     print_only(f"Training finished; artifacts in {exp_dir}")
