@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 PAD = 128  # halo ≥ max dilation (2^7 for X=8); also the alignment quantum
-TILE = 2048
+TILE = 1024
 
 # vecs packing rows (f32 [nb, 16, 512]):
 _B1, _DWB, _G1, _BT1, _G2, _BT2, _DW0, _DW1, _DW2 = range(9)

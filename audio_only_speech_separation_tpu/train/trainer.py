@@ -109,6 +109,7 @@ class Trainer:
         seed: int = 42,
         donate: bool = True,
         precision: str = "float32",
+        remat: bool = False,
     ):
         self.exp_dir = exp_dir
         self.epochs = epochs
@@ -118,6 +119,7 @@ class Trainer:
         self.donate = donate
         assert precision in ("float32", "bfloat16")
         self.precision = precision
+        self.remat = remat
         es = dict(early_stop or {})
         es.setdefault("monitor", "val_loss/dataloader_idx_0")
         self.early_stop = EarlyStopping(**es)
@@ -138,6 +140,11 @@ class Trainer:
         val_loss = system.loss_func["val"]
 
         bf16 = self.precision == "bfloat16"
+        apply_fn = model.apply
+        if self.remat:
+            # rematerialize activations in the backward pass: trades FLOPs
+            # for HBM — lets long-utterance/large-batch configs fit
+            apply_fn = jax.checkpoint(model.apply)
 
         def _loss(params, batch, loss_func):
             mix, sources = batch
@@ -150,10 +157,10 @@ class Trainer:
                     else x,
                     params,
                 )
-                est = model.apply(p, mix.astype(jnp.bfloat16))
+                est = apply_fn(p, mix.astype(jnp.bfloat16))
                 est = est.astype(jnp.float32)
             else:
-                est = model.apply(params, mix)
+                est = apply_fn(params, mix)
             return loss_func(est, sources)
 
         @partial(jax.jit, donate_argnums=(0, 1) if self.donate else ())
