@@ -178,7 +178,8 @@ def _kernel(
                     axis=0,
                 )
                 t = t - corr1
-            t = jnp.where(t >= 0, t, a2b * t)
+            # PReLU via max/min (Mosaic lacks bf16 compare on this target)
+            t = jnp.maximum(t, jnp.bfloat16(0)) + a2b * jnp.minimum(t, jnp.bfloat16(0))
             # backup the ORIGINAL tail before overwriting, for tile i+1
             if i + 1 < n_tiles:
                 bk_ref[:, :] = mid[TILE - PAD :, :]
