@@ -120,9 +120,11 @@ def _kernel(
             )
             ht = ht + vec_ref[_B1, :][None, :]
             ht = jnp.where(ht >= 0, ht, a1 * ht)
-            if hi > T:  # only the last tile can cross T
-                row = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + lo
-                ht = jnp.where(row < T, ht, 0.0)
+            if hi > T:  # only the last tile can cross T; T is static
+                valid = max(T - lo, 0)
+                ht = jnp.concatenate(
+                    [ht[:valid], jnp.zeros((TILE - valid, 512), jnp.float32)], axis=0
+                )
             h_ref[PAD + lo : PAD + hi, :] = ht.astype(jnp.bfloat16)
             s1 = s1 + jnp.sum(ht)
             q1 = q1 + jnp.sum(ht * ht)
@@ -166,14 +168,13 @@ def _kernel(
                     axis=0,
                 )
                 t = t - corr0
-            if hi - PAD > T:  # right-boundary rows live in the last tile
-                row = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
-                t = t - jnp.where(row >= T - d, corr_r[None, :], jnp.bfloat16(0))
-            elif i == n_tiles - 1:
+            start_r = min(max(T - d - i * TILE, 0), TILE)
+            if start_r < TILE:
+                # rows ≥ T are zeroed below, so over-subtracting there is fine
                 corr1 = jnp.concatenate(
                     [
-                        jnp.zeros((TILE - d, 512), jnp.bfloat16),
-                        jnp.broadcast_to(corr_r[None, :], (d, 512)),
+                        jnp.zeros((start_r, 512), jnp.bfloat16),
+                        jnp.broadcast_to(corr_r[None, :], (TILE - start_r, 512)),
                     ],
                     axis=0,
                 )
@@ -185,8 +186,10 @@ def _kernel(
                 bk_ref[:, :] = mid[TILE - PAD :, :]
             tf = t.astype(jnp.float32)
             if hi - PAD > T:
-                row = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
-                tf = jnp.where(row < T, tf, 0.0)
+                valid = max(T - i * TILE, 0)
+                tf = jnp.concatenate(
+                    [tf[:valid], jnp.zeros((TILE - valid, 512), jnp.float32)], axis=0
+                )
             h_ref[lo:hi, :] = tf.astype(jnp.bfloat16)
             s2 = s2 + jnp.sum(tf)
             q2 = q2 + jnp.sum(tf * tf)

@@ -36,9 +36,15 @@ def estimate_cost(fn: Callable, *args) -> Dict[str, float]:
     if isinstance(analysis, list):
         analysis = analysis[0] if analysis else {}
     out = {}
-    for key in ("flops", "bytes accessed"):
-        if analysis and key in analysis:
-            out[key.replace(" ", "_")] = float(analysis[key])
+    if analysis:
+        for key in ("flops", "bytes accessed"):
+            norm = key.replace(" ", "_")
+            if key in analysis:
+                out[norm] = float(analysis[key])
+            else:  # some backends suffix keys (e.g. 'bytes accessed0{}')
+                matches = [v for k, v in analysis.items() if k.startswith(key)]
+                if matches:
+                    out[norm] = float(max(matches))
     return out
 
 
