@@ -5,30 +5,28 @@ block round-trips ~8 activation tensors of [B, 512, T] through HBM
 (measured ~650 GB/s sustained, i.e. at the roof).  This kernel keeps the
 [T, 128] block input resident in VMEM for an entire sample and the [T, 512]
 hidden state in VMEM for an entire block, so HBM sees only: x once in,
-weights once per block (double-buffered DMA), y once out — a ~100× traffic
-reduction for the separator body.
+weights once per block, y once out — a ~100× traffic reduction for the
+separator body.
 
 Per grid step (= one batch sample), per block:
-  P1  h = PReLU(x @ W1 + b1)      static-unrolled tiles of
-                                  [Tt, 128] @ [128, 512] (MXU),
+  P1  h = PReLU(x @ W1 + b1)      tiles of [Tt, 128] @ [128, 512] (MXU),
                                   accumulating Σh, Σh² for gLN-1
   --  gLN-1 is an affine per-channel map given the stats; it is FOLDED into
-      the depthwise taps (dw'ₖ = dwₖ·scale, bias' folds the shift), with
-      boundary corrections where the reference zero-pads after norm
-  P2  h ← PReLU(dw'(h)) IN PLACE  (±d shifts built from aligned loads +
-      static register slices; a 128-row tail backup preserves the original
-      left-halo for the next tile), accumulating Σ, Σ² for gLN-2
-  P3  y += (h·scale2 + shift2) @ Ws + bs   (sconv + residual into y)
+      the depthwise weights (dw'ₖ = dwₖ·scale, bias' folds the shift), so
+      no normalization pass over h is needed
+  P2  stats of PReLU(dw'(h))      3 shifted reads per tile, Σ, Σ²
+  P3  y += (PReLU(dw'(h))·scale2 + shift2) @ Ws + bs   (recompute dw',
+      normalize with gLN-2 stats, sconv back to 128, residual into y)
 
-Static python tile loops (n_tiles ≤ 8) keep every VMEM slice aligned at
-compile time — no dynamic-index alignment constraints — and confine the
-row-masking to the first/last tiles only.  gLN statistics are f32;
-activations are stored bf16.
+Mosaic requires dynamically indexed VMEM loads to be tile-aligned, so the
+dilated depthwise conv loads the aligned mid tile plus two aligned 128-row
+neighbor strips and builds the ±d shifts with STATIC in-register slices
+(dilations are compile-time constants; halo PAD = 128 ≥ 2^7).  gLN
+statistics are computed in f32; activations are stored bf16.
 
 Numerical contract matches models.convtasnet.Conv1DBlock (gLN, torch PReLU
-single-alpha, eps 1e-8) at bf16 tolerance — verified in
-tests/test_pallas_kernels.py and scripts/validate_pallas.py against the XLA
-path.
+single-alpha, eps 1e-8) to bf16 tolerance — verified in
+tests/test_pallas_kernels.py against the XLA path.
 """
 
 from __future__ import annotations
@@ -42,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PAD = 128  # halo ≥ max dilation (2^7 for X=8)
+PAD = 128  # halo ≥ max dilation (2^7 for X=8); also the alignment quantum
 TILE = 1024
 
 # vecs packing rows (f32 [nb, 16, 512]):
@@ -62,7 +60,6 @@ def _kernel(
     y_ref,  # VMEM [1, Tpad, 128] bf16
     # scratch
     h_ref,  # VMEM [PAD + Tpad + PAD, 512] bf16
-    bk_ref,  # VMEM [PAD, 512] bf16 (original tail of the previous tile)
     w1_buf,  # VMEM [2, 128, 512] bf16 (double-buffered weight stage)
     ws_buf,  # VMEM [2, 512, 128] bf16
     vec_buf,  # VMEM [2, 16, 512] f32
@@ -75,14 +72,16 @@ def _kernel(
     n_tiles = Tpad // TILE
     inv_count = 1.0 / (float(T) * 512.0)
     eps = 1e-8
-    n_blocks = len(dilations)
 
-    # zero the halos once per sample; rows [T, Tpad) are zero-masked by P1
+    # zero the halos once per sample; the tail rows [T, Tpad) are written as
+    # zeros by P1's row mask every block
     h_ref[0:PAD, :] = jnp.zeros((PAD, 512), jnp.bfloat16)
     h_ref[PAD + Tpad : PAD + Tpad + PAD, :] = jnp.zeros((PAD, 512), jnp.bfloat16)
 
     # y starts as x (the residual accumulator lives in y)
     y_ref[0, :, :] = x_ref[0, :, :]
+
+    n_blocks = len(dilations)
 
     def start_weight_dma(b, slot):
         copies = (
@@ -107,12 +106,10 @@ def _kernel(
         a1 = a_ref[b, 0]
         a2 = a_ref[b, 1]
 
-        # ---- P1: h = prelu(y @ W1 + b1); gLN-1 stats -----------------------
-        s1 = jnp.float32(0.0)
-        q1 = jnp.float32(0.0)
-        for i in range(n_tiles):
-            lo, hi = i * TILE, (i + 1) * TILE
-            xt = y_ref[0, lo:hi, :]
+        # ---- P1: h = prelu(y @ W1 + b1); accumulate gLN-1 stats -----------
+        def p1_body(i, carry):
+            s, q = carry
+            xt = y_ref[0, pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :]
             ht = jax.lax.dot_general(
                 xt, w1_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -120,98 +117,89 @@ def _kernel(
             )
             ht = ht + vec_ref[_B1, :][None, :]
             ht = jnp.where(ht >= 0, ht, a1 * ht)
-            if hi > T:  # only the last tile can cross T; T is static
-                valid = max(T - lo, 0)
-                ht = jnp.concatenate(
-                    [ht[:valid], jnp.zeros((TILE - valid, 512), jnp.float32)], axis=0
-                )
-            h_ref[PAD + lo : PAD + hi, :] = ht.astype(jnp.bfloat16)
-            s1 = s1 + jnp.sum(ht)
-            q1 = q1 + jnp.sum(ht * ht)
+            row = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
+            ht = jnp.where(row < T, ht, 0.0)
+            h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :] = ht.astype(
+                jnp.bfloat16
+            )
+            return s + jnp.sum(ht), q + jnp.sum(ht * ht)
+
+        s1, q1 = jax.lax.fori_loop(
+            0, n_tiles, p1_body, (jnp.float32(0.0), jnp.float32(0.0))
+        )
         mean1 = s1 * inv_count
         rstd1 = jax.lax.rsqrt(q1 * inv_count - mean1 * mean1 + eps)
-        # fold gLN-1 into the depthwise taps (bf16 for the VPU muls)
-        sc1 = vec_ref[_G1, :] * rstd1  # [512] f32
+        # fold gLN-1 (per-channel affine) into the depthwise taps:
+        # norm1(h) = h·sc1 + sh1;  dw(norm1 h) = Σₖ(dwₖ·sc1)⊙h_±d + (Σₖdwₖ)·sh1 + dwb
+        sc1 = vec_ref[_G1, :] * rstd1  # [512]
         sh1 = vec_ref[_BT1, :] - mean1 * sc1
-        dw0 = (vec_ref[_DW0, :] * sc1).astype(jnp.bfloat16)
-        dw1 = (vec_ref[_DW1, :] * sc1).astype(jnp.bfloat16)
-        dw2 = (vec_ref[_DW2, :] * sc1).astype(jnp.bfloat16)
+        dw0 = vec_ref[_DW0, :] * sc1
+        dw1 = vec_ref[_DW1, :] * sc1
+        dw2 = vec_ref[_DW2, :] * sc1
         dwb = (
             vec_ref[_DWB, :]
             + (vec_ref[_DW0, :] + vec_ref[_DW1, :] + vec_ref[_DW2, :]) * sh1
-        ).astype(jnp.bfloat16)
-        # boundary corrections (reference zero-pads AFTER normalization)
-        corr_l = (vec_ref[_DW0, :] * sh1).astype(jnp.bfloat16)
-        corr_r = (vec_ref[_DW2, :] * sh1).astype(jnp.bfloat16)
-        a2b = a2.astype(jnp.bfloat16)
+        )
+        # Boundary correction: the reference zero-pads AFTER normalization,
+        # so the folded sh1 term must not be contributed by out-of-range
+        # taps (first d rows: left tap; last d rows: right tap).
+        corr_l = vec_ref[_DW0, :] * sh1
+        corr_r = vec_ref[_DW2, :] * sh1
 
-        # ---- P2: h ← prelu(dw'(h)) in place; gLN-2 stats -------------------
-        s2 = jnp.float32(0.0)
-        q2 = jnp.float32(0.0)
-        for i in range(n_tiles):
-            lo, hi = PAD + i * TILE, PAD + (i + 1) * TILE
-            mid = h_ref[lo:hi, :]
-            # left halo: original tail of the previous tile (backed up), or
-            # the zero halo for tile 0
-            prev = bk_ref[:, :] if i > 0 else h_ref[0:PAD, :]
-            nxt = h_ref[hi : hi + PAD, :]
+        def dw_tile(i):
+            """prelu(dw'(h)) for tile i, f32 [TILE, 512].
+
+            Aligned loads + static in-register shifts (d is a python int).
+            """
+            mid = h_ref[
+                pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :
+            ].astype(jnp.float32)
+            prev = h_ref[pl.ds(pl.multiple_of(i * TILE, PAD), PAD), :].astype(
+                jnp.float32
+            )
+            nxt = h_ref[
+                pl.ds(pl.multiple_of(PAD + (i + 1) * TILE, PAD), PAD), :
+            ].astype(jnp.float32)
             left = jnp.concatenate([prev[PAD - d :], mid[: TILE - d]], axis=0)
             right = jnp.concatenate([mid[d:], nxt[:d]], axis=0)
             t = left * dw0[None, :] + mid * dw1[None, :] + right * dw2[None, :]
             t = t + dwb[None, :]
-            if i == 0:
-                corr0 = jnp.concatenate(
-                    [
-                        jnp.broadcast_to(corr_l[None, :], (d, 512)),
-                        jnp.zeros((TILE - d, 512), jnp.bfloat16),
-                    ],
-                    axis=0,
-                )
-                t = t - corr0
-            start_r = min(max(T - d - i * TILE, 0), TILE)
-            if start_r < TILE:
-                # rows ≥ T are zeroed below, so over-subtracting there is fine
-                corr1 = jnp.concatenate(
-                    [
-                        jnp.zeros((start_r, 512), jnp.bfloat16),
-                        jnp.broadcast_to(corr_r[None, :], (TILE - start_r, 512)),
-                    ],
-                    axis=0,
-                )
-                t = t - corr1
-            # PReLU via max/min (Mosaic lacks bf16 compare on this target)
-            t = jnp.maximum(t, jnp.bfloat16(0)) + a2b * jnp.minimum(t, jnp.bfloat16(0))
-            # backup the ORIGINAL tail before overwriting, for tile i+1
-            if i + 1 < n_tiles:
-                bk_ref[:, :] = mid[TILE - PAD :, :]
-            tf = t.astype(jnp.float32)
-            if hi - PAD > T:
-                valid = max(T - i * TILE, 0)
-                tf = jnp.concatenate(
-                    [tf[:valid], jnp.zeros((TILE - valid, 512), jnp.float32)], axis=0
-                )
-            h_ref[lo:hi, :] = tf.astype(jnp.bfloat16)
-            s2 = s2 + jnp.sum(tf)
-            q2 = q2 + jnp.sum(tf * tf)
+            rowv = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
+            t = t - jnp.where(rowv < d, corr_l[None, :], 0.0)
+            t = t - jnp.where(rowv >= T - d, corr_r[None, :], 0.0)
+            return jnp.where(t >= 0, t, a2 * t)
+
+        # ---- P2: gLN-2 stats over prelu(dw'(h)) ---------------------------
+        def p2_body(i, carry):
+            s, q = carry
+            t = dw_tile(i)
+            row = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
+            t = jnp.where(row < T, t, 0.0)
+            return s + jnp.sum(t), q + jnp.sum(t * t)
+
+        s2, q2 = jax.lax.fori_loop(
+            0, n_tiles, p2_body, (jnp.float32(0.0), jnp.float32(0.0))
+        )
         mean2 = s2 * inv_count
         rstd2 = jax.lax.rsqrt(q2 * inv_count - mean2 * mean2 + eps)
-        sc2 = (vec_ref[_G2, :] * rstd2).astype(jnp.bfloat16)
-        sh2 = (vec_ref[_BT2, :] - mean2 * vec_ref[_G2, :] * rstd2).astype(
-            jnp.bfloat16
-        )
+        sc2 = vec_ref[_G2, :] * rstd2
+        sh2 = vec_ref[_BT2, :] - mean2 * sc2
 
-        # ---- P3: y += (h·sc2 + sh2) @ Ws + bs ------------------------------
-        for i in range(n_tiles):
-            lo, hi = i * TILE, (i + 1) * TILE
-            t = h_ref[PAD + lo : PAD + hi, :] * sc2[None, :] + sh2[None, :]
+        # ---- P3: y += (norm2(prelu(dw'(h)))) @ Ws + bs --------------------
+        def p3_body(i, _):
+            t = dw_tile(i) * sc2[None, :] + sh2[None, :]
             r = jax.lax.dot_general(
-                t, ws_ref[:],
+                t.astype(jnp.bfloat16), ws_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             r = r + wsb_ref[b, :][None, :]
-            yt = y_ref[0, lo:hi, :]
-            y_ref[0, lo:hi, :] = (yt.astype(jnp.float32) + r).astype(jnp.bfloat16)
+            sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
+            yt = y_ref[0, sl, :]
+            y_ref[0, sl, :] = (yt.astype(jnp.float32) + r).astype(jnp.bfloat16)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, p3_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("dilations", "T_valid"))
@@ -250,7 +238,6 @@ def fused_tcn_separator(
         ),
         scratch_shapes=[
             pltpu.VMEM((PAD + Tpad + PAD, 512), jnp.bfloat16),
-            pltpu.VMEM((PAD, 512), jnp.bfloat16),
             pltpu.VMEM((2, 128, 512), jnp.bfloat16),
             pltpu.VMEM((2, 512, 128), jnp.bfloat16),
             pltpu.VMEM((2, 16, 512), jnp.float32),
