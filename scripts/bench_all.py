@@ -1,0 +1,96 @@
+"""Multi-model inference benchmark sweep (bf16), writes a markdown table.
+
+Headline configs from the reference's YAML files, 2 s @ their native sample
+rate, batch 4.  Honest axon timing (fori_loop + scalar fetch; see bench.py).
+
+    python scripts/bench_all.py [--out docs/BENCHMARKS.md]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import audio_only_speech_separation_tpu.models as M
+from audio_only_speech_separation_tpu.utils.profiling import count_params
+
+CASES = [
+    # (name, model ctor, sample_rate, batch)
+    ("ConvTasNet (lrs3)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 8),
+    ("TasNet-DPRNN (wsj0)", lambda: M.TasNet(enc_dim=64, bn_dim=64, hidden_dim=128, win=16, layer=6, num_spk=2, module="DPRNN", block_size=100, sample_rate=8000), 8000, 8),
+    ("TasNet-DPTNet (wsj0)", lambda: M.TasNet(enc_dim=64, bn_dim=64, hidden_dim=128, win=16, layer=6, num_spk=2, module="DPTNet", block_size=100, sample_rate=8000), 8000, 8),
+    ("BSRNN (wsj0)", lambda: M.BSRNN(win=256, stride=64, feature_dim=128, num_spks=2, num_repeat=8, sample_rate=8000), 8000, 8),
+    ("Sepformer (base)", lambda: M.Sepformer(sample_rate=16000), 16000, 2),
+    ("TDANet (lrs2)", lambda: M.TDANet(out_channels=128, in_channels=512, num_blocks=16, upsampling_depth=5, enc_kernel_size=4, num_sources=2, sample_rate=16000), 16000, 4),
+    ("AFRCNN (lrs2)", lambda: M.AFRCNN(out_channels=512, in_channels=512, num_blocks=16, upsampling_depth=5, enc_kernel_size=1, num_sources=2, sample_rate=16000), 16000, 4),
+]
+
+SECONDS = 2.0
+ITERS = 10
+
+
+def bench_one(name, ctor, sr, batch):
+    model = ctor()
+    T = int(SECONDS * sr)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, T)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    n_params = count_params(params)
+    pb = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
+    )
+    xb = x.astype(jnp.bfloat16)
+
+    @jax.jit
+    def loop(p, mix):
+        def body(i, acc):
+            m = mix * (1.0 + 1e-9 * i.astype(mix.dtype))
+            return acc + model.apply(p, m).sum().astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+
+    t0 = time.perf_counter()
+    float(loop(pb, xb))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(loop(pb, xb))
+    dt = time.perf_counter() - t0
+    ms = dt / ITERS * 1000
+    thr = batch * SECONDS * ITERS / dt
+    print(f"{name}: {ms:.1f} ms/iter, {thr:.0f} audio-sec/s (params {n_params/1e6:.2f}M, compile {compile_s:.0f}s)", flush=True)
+    return name, n_params, batch, ms, thr
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+    rows = []
+    for case in CASES:
+        try:
+            rows.append(bench_one(*case))
+        except Exception as e:  # keep sweeping even if one model fails
+            print(f"{case[0]}: FAILED ({type(e).__name__}: {str(e)[:200]})", flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("# Inference benchmarks (bf16, 1 × TPU v5e, 2 s clips)\n\n")
+            f.write("Honest axon timing: fori_loop-amortized, scalar-fetch-forced"
+                    " (see bench.py).  XLA path (no Pallas) except where noted;"
+                    " ConvTasNet's fused-Pallas headline lives in bench.py.\n\n")
+            f.write("| model | params | batch | ms/iter | audio-sec/s/chip |\n")
+            f.write("|---|---|---|---|---|\n")
+            for name, n, b, ms, thr in rows:
+                f.write(f"| {name} | {n/1e6:.2f}M | {b} | {ms:.1f} | {thr:.0f} |\n")
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
