@@ -122,7 +122,10 @@ class BSRNN(BaseModel):
         elif wav.ndim == 2:
             wav = wav[:, None, :]
         Bsz, nch, nsample = wav.shape
-        x = wav.reshape(Bsz * nch, nsample)
+        in_dtype = wav.dtype
+        # FFTs run in f32 regardless of compute dtype (TPU FFT has no bf16
+        # path); the separator body still follows the input dtype policy
+        x = wav.reshape(Bsz * nch, nsample).astype(jnp.float32)
 
         enc_dim = self.win // 2 + 1
         ratio = self.context * 2 + 1
@@ -199,7 +202,7 @@ class BSRNN(BaseModel):
             window,
             length=nsample,
         )
-        out = out.reshape(Bsz, nch, self.num_spks, -1)
+        out = out.reshape(Bsz, nch, self.num_spks, -1).astype(in_dtype)
         if input_ndim == 1:
             return out[0, 0]
         if input_ndim == 2:
