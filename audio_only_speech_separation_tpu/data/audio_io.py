@@ -16,7 +16,7 @@ multi-channel files), matching ``sf.read(dtype='float32')``.
 from __future__ import annotations
 
 import wave
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -8,8 +8,6 @@ the full datamodule contract so it actually works with the trainer.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from .dataset import ManifestDataset, _read, normalize_wav

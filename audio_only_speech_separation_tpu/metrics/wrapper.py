@@ -9,8 +9,6 @@ footer rows.
 from __future__ import annotations
 
 import csv
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -7,10 +7,7 @@ stacks layer×stack blocks with dilations 2^i and sums skips.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ...ops.activations import PReLU
 from ...ops.conv import Conv1d, PointwiseConv

@@ -11,7 +11,7 @@ The (unused) subband_power of the reference (bsrnn.py:195) is not computed.
 from __future__ import annotations
 
 from math import ceil, floor
-from typing import List, Tuple
+from typing import List
 
 import flax.linen as nn
 import jax

@@ -15,7 +15,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.activations import PReLU
 from ..ops.chunk import merge_feature, split_feature
 from ..ops.conv import ConvDecoder, ConvEncoder, PointwiseConv
 from ..ops.norms import GlobalLayerNorm

@@ -13,8 +13,6 @@ Reference quirks preserved exactly:
 
 from __future__ import annotations
 
-import math
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -18,8 +18,6 @@ a torch-layout-compatible ``Conv1d`` module operating on [B, C, T].
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple, Union
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -60,6 +60,7 @@ def _kernel(
     y_ref,  # VMEM [1, Tpad, 128] bf16
     # scratch
     h_ref,  # VMEM [PAD + Tpad + PAD, 512] bf16
+    bk_ref,  # VMEM [PAD, 512] bf16 (original tail of the previous tile)
     w1_buf,  # VMEM [2, 128, 512] bf16 (double-buffered weight stage)
     ws_buf,  # VMEM [2, 512, 128] bf16
     vec_buf,  # VMEM [2, 16, 512] f32
@@ -146,20 +147,19 @@ def _kernel(
         corr_l = vec_ref[_DW0, :] * sh1
         corr_r = vec_ref[_DW2, :] * sh1
 
-        def dw_tile(i):
-            """prelu(dw'(h)) for tile i, f32 [TILE, 512].
-
-            Aligned loads + static in-register shifts (d is a python int).
-            """
-            mid = h_ref[
-                pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :
-            ].astype(jnp.float32)
-            prev = h_ref[pl.ds(pl.multiple_of(i * TILE, PAD), PAD), :].astype(
-                jnp.float32
-            )
-            nxt = h_ref[
-                pl.ds(pl.multiple_of(PAD + (i + 1) * TILE, PAD), PAD), :
-            ].astype(jnp.float32)
+        # ---- P2: h ← prelu(dw'(h)) IN PLACE; gLN-2 stats -------------------
+        # The ±d shifts come from aligned loads + static register slices; a
+        # 128-row backup strip preserves the previous tile's ORIGINAL tail
+        # (the in-place write destroys it) for the next tile's left halo.
+        def p2_body(i, carry):
+            s, q = carry
+            mid_b = h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :]
+            halo_b = h_ref[pl.ds(pl.multiple_of(i * TILE, PAD), PAD), :]
+            prev_b = jnp.where(i > 0, bk_ref[:, :], halo_b)
+            nxt_b = h_ref[pl.ds(pl.multiple_of(PAD + (i + 1) * TILE, PAD), PAD), :]
+            mid = mid_b.astype(jnp.float32)
+            prev = prev_b.astype(jnp.float32)
+            nxt = nxt_b.astype(jnp.float32)
             left = jnp.concatenate([prev[PAD - d :], mid[: TILE - d]], axis=0)
             right = jnp.concatenate([mid[d:], nxt[:d]], axis=0)
             t = left * dw0[None, :] + mid * dw1[None, :] + right * dw2[None, :]
@@ -167,14 +167,12 @@ def _kernel(
             rowv = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
             t = t - jnp.where(rowv < d, corr_l[None, :], 0.0)
             t = t - jnp.where(rowv >= T - d, corr_r[None, :], 0.0)
-            return jnp.where(t >= 0, t, a2 * t)
-
-        # ---- P2: gLN-2 stats over prelu(dw'(h)) ---------------------------
-        def p2_body(i, carry):
-            s, q = carry
-            t = dw_tile(i)
-            row = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
-            t = jnp.where(row < T, t, 0.0)
+            t = jnp.where(t >= 0, t, a2 * t)
+            t = jnp.where(rowv < T, t, 0.0)
+            bk_ref[:, :] = mid_b[TILE - PAD :, :]
+            h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :] = t.astype(
+                jnp.bfloat16
+            )
             return s + jnp.sum(t), q + jnp.sum(t * t)
 
         s2, q2 = jax.lax.fori_loop(
@@ -185,9 +183,12 @@ def _kernel(
         sc2 = vec_ref[_G2, :] * rstd2
         sh2 = vec_ref[_BT2, :] - mean2 * sc2
 
-        # ---- P3: y += (norm2(prelu(dw'(h)))) @ Ws + bs --------------------
+        # ---- P3: y += (h·sc2 + sh2) @ Ws + bs ------------------------------
         def p3_body(i, _):
-            t = dw_tile(i) * sc2[None, :] + sh2[None, :]
+            td = h_ref[
+                pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :
+            ].astype(jnp.float32)
+            t = td * sc2[None, :] + sh2[None, :]
             r = jax.lax.dot_general(
                 t.astype(jnp.bfloat16), ws_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -238,6 +239,7 @@ def fused_tcn_separator(
         ),
         scratch_shapes=[
             pltpu.VMEM((PAD + Tpad + PAD, 512), jnp.bfloat16),
+            pltpu.VMEM((PAD, 512), jnp.bfloat16),
             pltpu.VMEM((2, 128, 512), jnp.bfloat16),
             pltpu.VMEM((2, 512, 128), jnp.bfloat16),
             pltpu.VMEM((2, 16, 512), jnp.float32),

@@ -20,7 +20,7 @@ Gate order is torch's (i, f, g, o) so reference checkpoints import directly.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import flax.linen as nn
 import jax

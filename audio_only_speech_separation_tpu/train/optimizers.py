@@ -12,8 +12,6 @@ host-side ReduceLROnPlateau adjust LR without re-jitting the train step.
 
 from __future__ import annotations
 
-from typing import Any, Dict
-
 import optax
 
 

@@ -28,10 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-import yaml
 
 from ..models import serialize, save_serialized
-from ..parallel import batch_sharding, make_mesh, replicate, shard_batch
+from ..parallel import make_mesh, replicate, shard_batch
 from .checkpoints import CheckpointManager
 from .optimizers import set_learning_rate
 from .schedulers import NoamLR

@@ -44,29 +44,40 @@ def bench_one(name, ctor, sr, batch):
     x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, T)).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), x)
     n_params = count_params(params)
-    pb = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
-    )
-    xb = x.astype(jnp.bfloat16)
 
-    @jax.jit
-    def loop(p, mix):
-        def body(i, acc):
-            m = mix * (1.0 + 1e-9 * i.astype(mix.dtype))
-            return acc + model.apply(p, m).sum().astype(jnp.float32)
+    def run(dtype):
+        if dtype == "bf16":
+            p = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+                params,
+            )
+            xx = x.astype(jnp.bfloat16)
+        else:
+            p, xx = params, x
 
-        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+        @jax.jit
+        def loop(p, mix):
+            def body(i, acc):
+                m = mix * (1.0 + 1e-9 * i.astype(mix.dtype))
+                return acc + model.apply(p, m).sum().astype(jnp.float32)
 
-    t0 = time.perf_counter()
-    float(loop(pb, xb))
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(loop(pb, xb))
-    dt = time.perf_counter() - t0
+            return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+
+        float(loop(p, xx))  # compile + warmup
+        t0 = time.perf_counter()
+        float(loop(p, xx))
+        return time.perf_counter() - t0
+
+    # bf16 first; a few models trip axon-backend UNIMPLEMENTED errors under
+    # bf16 at full size — fall back to f32 for those and note it
+    try:
+        dt, dtype = run("bf16"), "bf16"
+    except Exception:
+        dt, dtype = run("f32"), "f32"
     ms = dt / ITERS * 1000
     thr = batch * SECONDS * ITERS / dt
-    print(f"{name}: {ms:.1f} ms/iter, {thr:.0f} audio-sec/s (params {n_params/1e6:.2f}M, compile {compile_s:.0f}s)", flush=True)
-    return name, n_params, batch, ms, thr
+    print(f"{name} [{dtype}]: {ms:.1f} ms/iter, {thr:.0f} audio-sec/s (params {n_params/1e6:.2f}M)", flush=True)
+    return f"{name} [{dtype}]", n_params, batch, ms, thr
 
 
 def main():
