@@ -45,15 +45,17 @@ def bench_one(name, ctor, sr, batch):
     params = model.init(jax.random.PRNGKey(0), x)
     n_params = count_params(params)
 
-    def run(dtype):
+    def cast(dtype):
         if dtype == "bf16":
             p = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
                 params,
             )
-            xx = x.astype(jnp.bfloat16)
-        else:
-            p, xx = params, x
+            return p, x.astype(jnp.bfloat16)
+        return params, x
+
+    def run_fori(dtype):
+        p, xx = cast(dtype)
 
         @jax.jit
         def loop(p, mix):
@@ -63,21 +65,42 @@ def bench_one(name, ctor, sr, batch):
 
             return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
 
-        float(loop(p, xx))  # compile + warmup
+        float(loop(p, xx))
         t0 = time.perf_counter()
         float(loop(p, xx))
         return time.perf_counter() - t0
 
-    # bf16 first; a few models trip axon-backend UNIMPLEMENTED errors under
-    # bf16 at full size — fall back to f32 for those and note it
-    try:
-        dt, dtype = run("bf16"), "bf16"
-    except Exception:
-        dt, dtype = run("f32"), "f32"
+    def run_chained(dtype):
+        p, xx = cast(dtype)
+        fwd = jax.jit(lambda p, m: model.apply(p, m).sum().astype(jnp.float32))
+        xs = [(xx * (1.0 + 1e-6 * k)).astype(xx.dtype) for k in range(ITERS)]
+        float(fwd(p, xs[0]))
+        t0 = time.perf_counter()
+        scalars = [fwd(p, m) for m in xs]
+        acc = scalars[0]
+        for sc in scalars[1:]:
+            acc = acc + sc
+        float(acc)
+        return time.perf_counter() - t0
+
+    # some model×mode×dtype combos trip generic UNIMPLEMENTED errors in the
+    # axon AOT compiler — walk the fallback ladder and label the mode used
+    for label, runner in (
+        ("bf16", lambda: run_fori("bf16")),
+        ("bf16/chained", lambda: run_chained("bf16")),
+        ("f32/chained", lambda: run_chained("f32")),
+    ):
+        try:
+            dt = runner()
+            break
+        except Exception:
+            continue
+    else:
+        raise RuntimeError("all timing modes failed")
     ms = dt / ITERS * 1000
     thr = batch * SECONDS * ITERS / dt
-    print(f"{name} [{dtype}]: {ms:.1f} ms/iter, {thr:.0f} audio-sec/s (params {n_params/1e6:.2f}M)", flush=True)
-    return f"{name} [{dtype}]", n_params, batch, ms, thr
+    print(f"{name} [{label}]: {ms:.1f} ms/iter, {thr:.0f} audio-sec/s (params {n_params/1e6:.2f}M)", flush=True)
+    return f"{name} [{label}]", n_params, batch, ms, thr
 
 
 def main():
