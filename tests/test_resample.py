@@ -41,7 +41,7 @@ class TestResampleParity:
             torch.from_numpy(x), size=t_out, mode="linear", align_corners=True
         ).numpy()
         got = np.asarray(interpolate_linear_align_corners(jnp.asarray(x), t_out))
-        np.testing.assert_allclose(got, want, atol=1e-5)
+        np.testing.assert_allclose(got, want, atol=5e-5)
 
     @pytest.mark.parametrize("kernel", [4, 16])
     def test_avg_pool_matches_torch(self, rng, kernel):
