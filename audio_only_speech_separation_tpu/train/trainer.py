@@ -205,7 +205,9 @@ class Trainer:
         else:
             sample = next(iter(val_loader if val_loader is not None else train_loader))
             mix = jnp.asarray(sample[0][:1])
-            params = model.init(jax.random.PRNGKey(self.seed), mix)
+            # jitted init: eager init materializes intermediate buffers on
+            # device (complex64 ones crash the axon runtime — see BSRNN)
+            params = jax.jit(model.init)(jax.random.PRNGKey(self.seed), mix)
             warm = getattr(system, "warm_start", None)
             if warm is not None:
                 pre_params, merge_fn = warm

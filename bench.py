@@ -59,7 +59,7 @@ def main():
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(BATCH, T)).astype(np.float32)
     )
-    params = model.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     # Production inference path: bf16 activations/weights (f32 matmul
     # accumulation + f32 norm statistics — ops-level policy; 2.2× over f32,
     # the model is HBM-bandwidth-bound) with the 24-block TCN body running

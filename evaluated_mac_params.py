@@ -29,7 +29,7 @@ def main():
     )
     T = int(args.seconds * sr)
     x = jnp.asarray(np.zeros((1, T), np.float32))
-    params = model.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     print(f"model: {config['audionet']['audionet_name']}")
     print(f"params: {count_params(params)/1e6:.3f} M")
     cost = estimate_cost(lambda p, m: model.apply(p, m), params, x)

@@ -44,7 +44,7 @@ def bench_one(name, ctor, sr, batch):
     model = ctor()
     T = int(SECONDS * sr)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, T)).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
     n_params = count_params(params)
 
     def cast(dtype):

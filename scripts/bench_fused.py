@@ -9,7 +9,7 @@ from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import pack_co
 model = ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000)
 T = 32000
 x = jnp.asarray(np.random.default_rng(0).normal(size=(8, T)).astype(np.float32))
-params = model.init(jax.random.PRNGKey(0), x)
+params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
 packed = pack_convtasnet_tcn_params(params, model.R, model.X)
 ITERS = 20
 

@@ -8,7 +8,7 @@ from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import (
 
 model = ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000)
 x0 = jnp.zeros((8, 32000), jnp.float32)
-params = model.init(jax.random.PRNGKey(0), x0)
+params = jax.jit(model.init)(jax.random.PRNGKey(0), x0)
 packed = pack_convtasnet_tcn_params(params, 3, 8)
 w1s, wss, vecs, wsbs, alphas, dils = packed
 T = 8008
