@@ -30,7 +30,7 @@ from audio_only_speech_separation_tpu.metrics import MetricsTracker
 from audio_only_speech_separation_tpu.utils import print_only
 
 
-def main(config, bucket_seconds: float = 1.0):
+def main(config, bucket_seconds: float = 1.0, batch_size: int = 1):
     exp_dir = config["main_args"]["exp_dir"]
     model_path = os.path.join(exp_dir, "best_model.pth")
     print_only(f"Loading model from {model_path}")
@@ -57,16 +57,25 @@ def main(config, bucket_seconds: float = 1.0):
     def forward(p, mix):
         return model.apply(p, mix)
 
-    for idx in range(len(test_set)):
-        mix, sources, key = test_set[idx]
-        T = mix.shape[-1]
-        T_pad = -(-T // bucket) * bucket
-        mix_in = np.zeros((1, T_pad), np.float32)
-        mix_in[0, :T] = mix
-        est = np.asarray(forward(params, jnp.asarray(mix_in)))[0, :, :T]
-        metrics(mix, sources, est, key)
-        if idx % 50 == 0:
-            print_only(f"[{idx}/{len(test_set)}] {metrics.update()}")
+    # sort by length so same-bucket utterances batch together (fewer XLA
+    # shapes AND less padding waste); metrics stay per-utterance
+    order = sorted(range(len(test_set)), key=lambda i: test_set.mix[i][1])
+    done = 0
+    for start in range(0, len(order), batch_size):
+        idxs = order[start : start + batch_size]
+        items = [test_set[i] for i in idxs]
+        T_max = max(it[0].shape[-1] for it in items)
+        T_pad = -(-T_max // bucket) * bucket
+        mix_in = np.zeros((len(items), T_pad), np.float32)
+        for j, (mix, _, _) in enumerate(items):
+            mix_in[j, : mix.shape[-1]] = mix
+        est = np.asarray(forward(params, jnp.asarray(mix_in)))
+        for j, (mix, sources, key) in enumerate(items):
+            T = mix.shape[-1]
+            metrics(mix, sources, est[j, :, :T], key)
+            done += 1
+            if done % 50 == 0:
+                print_only(f"[{done}/{len(test_set)}] {metrics.update()}")
     metrics.final()
     print_only(f"Results written to {results_dir}/metrics.csv")
 
@@ -80,9 +89,10 @@ if __name__ == "__main__":
         help="Path to the experiment conf.yml",
     )
     parser.add_argument("--bucket-seconds", type=float, default=1.0)
+    parser.add_argument("--batch-size", type=int, default=1)
     args = parser.parse_args()
     with open(args.conf_dir) as f:
         config = yaml.safe_load(f)
     config.setdefault("main_args", {})
     config["main_args"].setdefault("exp_dir", os.path.dirname(args.conf_dir))
-    main(config, bucket_seconds=args.bucket_seconds)
+    main(config, bucket_seconds=args.bucket_seconds, batch_size=args.batch_size)
