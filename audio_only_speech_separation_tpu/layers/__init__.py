@@ -66,3 +66,25 @@ __all__ = [
     "stft_matmul",
     "hann_window",
 ]
+
+from .av import (  # noqa: E402
+    Bottomup,
+    BottomupConcatTopdown,
+    Concat,
+    ConformerConvModule,
+    DPRNNLinear,
+    MultiHeadedSelfAttentionModule,
+    RelativeMultiHeadAttention,
+    Video1DConv,
+)
+
+__all__ += [
+    "Video1DConv",
+    "Concat",
+    "Bottomup",
+    "BottomupConcatTopdown",
+    "RelativeMultiHeadAttention",
+    "MultiHeadedSelfAttentionModule",
+    "ConformerConvModule",
+    "DPRNNLinear",
+]

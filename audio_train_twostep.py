@@ -58,10 +58,6 @@ def main():
         print_only(f"Loaded warm-start weights from {args.pretrained}")
         audio_train.WARM_START = (pre_params, update_parameter)
 
-    import sys
-
-    sys.argv = [sys.argv[0], f"--conf-dir={args.conf_dir}", *rest]
-    saved = parser.parse_known_args()
     with open(args.conf_dir) as f:
         def_conf = yaml.safe_load(f)
     from audio_only_speech_separation_tpu.utils import (
@@ -73,7 +69,7 @@ def main():
     p2.add_argument("--conf-dir", default=args.conf_dir)
     p2 = prepare_parser_from_dict(def_conf, parser=p2)
     arg_dic = parse_args_as_dict(p2, args=[f"--conf-dir={args.conf_dir}", *rest])
-    cfg = {g: leaves for g, leaves in arg_dic.items()}
+    cfg = dict(arg_dic)
     for group in def_conf:
         if group not in cfg:
             cfg[group] = def_conf[group]

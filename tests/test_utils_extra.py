@@ -106,3 +106,53 @@ class TestSeparator:
         assert len(paths) == 2
         for p in paths:
             assert len(read_wav(p)) == 1600
+
+
+class TestAVLayers:
+    def test_video1dconv(self):
+        from audio_only_speech_separation_tpu.layers import Video1DConv
+
+        m = Video1DConv(in_chan=8, out_chan=16, kernel_size=3, first_block=True)
+        x = jnp.zeros((2, 8, 50))
+        p = m.init(jax.random.PRNGKey(0), x)
+        skip, y = m.apply(p, x)
+        assert skip.shape == (2, 16, 50) and y.shape == (2, 8, 50)
+
+    def test_concat_fusion(self):
+        from audio_only_speech_separation_tpu.layers import Concat
+
+        m = Concat(ain_chan=8, vin_chan=4, out_chan=16)
+        a = jnp.zeros((1, 8, 100))
+        v = jnp.zeros((1, 4, 25))
+        p = m.init(jax.random.PRNGKey(0), a, v)
+        assert m.apply(p, a, v).shape == (1, 16, 100)
+
+    def test_bottomup_topdown(self):
+        from audio_only_speech_separation_tpu.layers import BottomupConcatTopdown
+
+        m = BottomupConcatTopdown(in_chan=8, out_chan=16, upsampling_depth=3)
+        x = jnp.zeros((1, 8, 80))
+        p = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(p, x).shape == x.shape
+
+    def test_conformer_pieces(self):
+        from audio_only_speech_separation_tpu.layers import (
+            ConformerConvModule,
+            MultiHeadedSelfAttentionModule,
+        )
+
+        x = jnp.zeros((2, 20, 16))
+        attn = MultiHeadedSelfAttentionModule(d_model=16, num_heads=4)
+        p = attn.init(jax.random.PRNGKey(0), x)
+        assert attn.apply(p, x).shape == x.shape
+        conv = ConformerConvModule(in_channels=16, kernel_size=7)
+        p2 = conv.init(jax.random.PRNGKey(1), x)
+        assert conv.apply(p2, x).shape == x.shape
+
+    def test_dprnn_linear(self):
+        from audio_only_speech_separation_tpu.layers import DPRNNLinear
+
+        m = DPRNNLinear(hidden_size=8)
+        x = jnp.zeros((1, 12, 10, 6))
+        p = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(p, x).shape == x.shape
