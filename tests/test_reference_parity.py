@@ -42,18 +42,17 @@ class TestConvTasNetParity:
         from audio_only_speech_separation_tpu.models import ConvTasNet
         from audio_only_speech_separation_tpu.utils.torch_import import convert
 
+        from parity_utils import assert_waveform_parity, torch_forward_f64
+
         kw = dict(N=32, L=16, B=16, H=24, P=3, X=2, R=2, num_spks=2, sample_rate=8000)
         ref = ref_models.ConvTasNet(**kw)
-        ref.eval()
         x = rng.normal(size=(2, 4000)).astype(np.float32)
-        with torch.no_grad():
-            want = ref(torch.from_numpy(x)).numpy()
+        params = convert("ConvTasNet", to_numpy_sd(ref), X=2, R=2)
+        want = torch_forward_f64(ref, x)
 
         ours = ConvTasNet(**kw)
-        params = convert("ConvTasNet", to_numpy_sd(ref), X=2, R=2)
         got = np.asarray(ours.apply(params, jnp.asarray(x)))
-        assert got.shape == want.shape
-        np.testing.assert_allclose(got, want, atol=2e-4)
+        assert_waveform_parity(got, want)
 
 
 class TestTasNetDPRNNParity:
@@ -68,13 +67,12 @@ class TestTasNetDPRNNParity:
             module="DPRNN", group_size=1, block_size=20, sample_rate=8000,
             unfold=False,
         )
+        from parity_utils import assert_waveform_parity, torch_forward_f64
+
         ref = ref_models.TasNet(**kw)
-        ref.eval()
         x = rng.normal(size=(1, 2000)).astype(np.float32)
-        with torch.no_grad():
-            want = ref(torch.from_numpy(x)).numpy()
-        ours = TasNet(**kw)
         params = convert("TasNet", to_numpy_sd(ref), layer=2)
+        want = torch_forward_f64(ref, x)
+        ours = TasNet(**kw)
         got = np.asarray(ours.apply(params, jnp.asarray(x)))
-        assert got.shape == want.shape
-        np.testing.assert_allclose(got, want, atol=2e-4)
+        assert_waveform_parity(got, want)

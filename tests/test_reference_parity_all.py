@@ -31,15 +31,14 @@ def sd_of(model):
     return {k: v.detach().cpu().numpy() for k, v in model.state_dict().items()}
 
 
-def run_both(ref, ours, params, x, atol=3e-4):
+def run_both(ref, ours, params, x, atol=1e-3):
     import jax.numpy as jnp
 
-    ref.eval()
-    with torch.no_grad():
-        want = ref(torch.from_numpy(x)).numpy()
+    from parity_utils import assert_waveform_parity, torch_forward_f64
+
+    want = torch_forward_f64(ref, x)
     got = np.asarray(ours.apply(params, jnp.asarray(x)))
-    assert got.shape == want.shape, (got.shape, want.shape)
-    np.testing.assert_allclose(got, want, atol=atol)
+    assert_waveform_parity(got, want, atol=atol)
 
 
 class TestDPTNetParity:
@@ -55,7 +54,7 @@ class TestDPTNetParity:
         ref = ref_models.TasNet(**kw)
         x = rng.normal(size=(1, 1600)).astype(np.float32)
         params = convert("TasNetDPTNet", sd_of(ref), layer=2)
-        run_both(ref, TasNet(**kw), params, x, atol=5e-4)
+        run_both(ref, TasNet(**kw), params, x)
 
 
 class TestBSRNNParity:
@@ -72,7 +71,7 @@ class TestBSRNNParity:
         nband = len(compute_band_widths(8000, 129))
         x = rng.normal(size=(1, 2000)).astype(np.float32)
         params = convert("BSRNN", sd_of(ref), nband=nband, num_repeat=2, num_layer=1)
-        run_both(ref, BSRNN(**kw), params, x, atol=5e-4)
+        run_both(ref, BSRNN(**kw), params, x)
 
     def test_bsrnn_with_context(self, ref_models, rng):
         from audio_only_speech_separation_tpu.models import BSRNN
@@ -87,7 +86,7 @@ class TestBSRNNParity:
         nband = len(compute_band_widths(8000, 129))
         x = rng.normal(size=(1, 1600)).astype(np.float32)
         params = convert("BSRNN", sd_of(ref), nband=nband, num_repeat=1)
-        run_both(ref, BSRNN(**kw), params, x, atol=5e-4)
+        run_both(ref, BSRNN(**kw), params, x)
 
 
 class TestSepformerParity:
@@ -108,7 +107,7 @@ class TestSepformerParity:
             "Sepformer", sd_of(ref), masknet_numlayers=2,
             intra_numlayers=2, inter_numlayers=2,
         )
-        run_both(ref, Sepformer(**kw), params, x, atol=5e-4)
+        run_both(ref, Sepformer(**kw), params, x)
 
 
 class TestTDANetParity:
@@ -123,7 +122,7 @@ class TestTDANetParity:
         ref = ref_models.TDANet(**kw)
         x = rng.normal(size=(2, 1600)).astype(np.float32)
         params = convert("TDANet", sd_of(ref), upsampling_depth=4)
-        run_both(ref, TDANet(**kw), params, x, atol=5e-4)
+        run_both(ref, TDANet(**kw), params, x)
 
 
 class TestAFRCNNParity:
@@ -138,7 +137,7 @@ class TestAFRCNNParity:
         ref = ref_models.AFRCNN(**kw)
         x = rng.normal(size=(1, 1600)).astype(np.float32)
         params = convert("AFRCNN", sd_of(ref), upsampling_depth=4)
-        run_both(ref, AFRCNN(**kw), params, x, atol=5e-4)
+        run_both(ref, AFRCNN(**kw), params, x)
 
 
 class TestDPRNNTasNetParity:
@@ -169,4 +168,4 @@ class TestSandglassetParity:
         x = rng.normal(size=(1, 800)).astype(np.float32)
         params = convert("Sandglasset", sd_of(ref), n_repeats=2)
         ours = Sandglasset(sample_rate=8000, **kw)
-        run_both(ref, ours, params, x, atol=5e-4)
+        run_both(ref, ours, params, x)
