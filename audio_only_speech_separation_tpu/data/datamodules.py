@@ -85,12 +85,17 @@ class BaseDataModule:
         )
 
     def val_dataloader(self) -> DataLoader:
+        # drop_last=False: eval must score every utterance (the tail batch
+        # is weighted by size in the Trainer's epoch mean); host-sharded so
+        # multi-host runs split the work instead of repeating it
         return DataLoader(
             self.data_val,
             batch_size=self.batch_size,
             shuffle=False,
-            drop_last=True,
+            drop_last=False,
             num_workers=self.num_workers,
+            shard_id=self.shard_id,
+            num_shards=self.num_shards,
         )
 
     def test_dataloader(self) -> DataLoader:
@@ -98,8 +103,10 @@ class BaseDataModule:
             self.data_test,
             batch_size=self.batch_size,
             shuffle=False,
-            drop_last=True,
+            drop_last=False,
             num_workers=self.num_workers,
+            shard_id=self.shard_id,
+            num_shards=self.num_shards,
         )
 
     @property

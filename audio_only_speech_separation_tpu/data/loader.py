@@ -58,10 +58,15 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
-        # contiguous per-host shard
+        # strided per-host shard: every item lands in exactly one shard
+        # even when n % num_shards != 0 (eval must score the tail); for
+        # train (drop_last) shards are trimmed to equal length so every
+        # host takes the same number of steps — unequal step counts would
+        # deadlock cross-host collectives
         if self.num_shards > 1:
-            per = n // self.num_shards
-            idx = idx[self.shard_id * per : (self.shard_id + 1) * per]
+            idx = idx[self.shard_id :: self.num_shards]
+            if self.drop_last:
+                idx = idx[: n // self.num_shards]
         return idx
 
     def __len__(self):

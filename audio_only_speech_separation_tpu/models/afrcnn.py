@@ -91,7 +91,7 @@ class AFRCNN(BaseModel):
     sample_rate: int = 16000
 
     @nn.compact
-    def __call__(self, wav):
+    def __call__(self, wav, train: bool = False):  # train: API uniformity; reference applies no dropout here
         was_one_d = wav.ndim == 1
         if wav.ndim == 1:
             wav = wav[None]

@@ -60,15 +60,20 @@ def compute_band_widths(sample_rate: int, enc_dim: int) -> List[int]:
 
 
 class ResRNN(nn.Module):
-    """gLN → (Bi)LSTM → proj, residual (bsrnn.py:13-34).  [B, D, T]→same."""
+    """gLN → dropout → (Bi)LSTM → proj, residual (bsrnn.py:13-34).
+    [B, D, T]→same.  Dropout sits between the norm and the RNN
+    (bsrnn.py:31), train-time only."""
 
     input_size: int
     hidden_size: int
     bidirectional: bool = True
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         h = GlobalLayerNorm(self.input_size, eps=_F32_EPS, name="norm")(x)
+        if self.dropout > 0.0:
+            h = nn.Dropout(self.dropout, deterministic=not train)(h)
         h = jnp.swapaxes(h, 1, 2)  # [B, T, D]
         if self.bidirectional:
             h = BiLSTM(self.hidden_size, name="rnn")(h)
@@ -85,18 +90,22 @@ class BSNet(nn.Module):
     feature_dim: int
     num_layer: int = 1
     bi_comm: bool = True
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x):  # [B, nband*N, T]
+    def __call__(self, x, train: bool = False):  # [B, nband*N, T]
         B, _, T = x.shape
         N = self.feature_dim
         h = x.reshape(B * self.nband, N, T)
         for i in range(self.num_layer):
-            h = ResRNN(N, N * 2, name=f"band_rnn_{i}")(h)
+            h = ResRNN(N, N * 2, dropout=self.dropout, name=f"band_rnn_{i}")(h, train)
         h = h.reshape(B, self.nband, N, T)
         # band comm: sequences along the band axis, batched over B*T
         h = jnp.transpose(h, (0, 3, 2, 1)).reshape(B * T, N, self.nband)
-        h = ResRNN(N, N * 2, bidirectional=self.bi_comm, name="band_comm")(h)
+        h = ResRNN(
+            N, N * 2, bidirectional=self.bi_comm, dropout=self.dropout,
+            name="band_comm",
+        )(h, train)
         h = jnp.transpose(h.reshape(B, T, N, self.nband), (0, 3, 2, 1))
         return h.reshape(B, self.nband * N, T)
 
@@ -115,7 +124,7 @@ class BSRNN(BaseModel):
     sample_rate: int = 16000
 
     @nn.compact
-    def __call__(self, wav):
+    def __call__(self, wav, train: bool = False):
         input_ndim = wav.ndim
         if wav.ndim == 1:
             wav = wav[None, None, :]
@@ -170,8 +179,9 @@ class BSRNN(BaseModel):
                 self.feature_dim,
                 self.num_layer,
                 self.bi_comm,
+                dropout=self.dropout,
                 name=f"separator_{r}",
-            )(sep)
+            )(sep, train)
         sep = sep.reshape(Bsz * nch, nband, self.feature_dim, T)
 
         # per-band gated complex masks

@@ -74,7 +74,7 @@ class ConvTasNet(BaseModel):
     n_src: int = 2  # accepted for config parity; num_spks governs
 
     @nn.compact
-    def __call__(self, wav):
+    def __call__(self, wav, train: bool = False):  # train: API uniformity; reference applies no dropout here
         x, was_one_d = normalize_input(wav)
         win, pad_stride = self.L, self.L // 2
         fb_stride = self.L // 4  # filterbank stride (convtasnet.py:125)

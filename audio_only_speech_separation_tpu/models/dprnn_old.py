@@ -103,7 +103,7 @@ class DPRNNTasNet(BaseModel):
     rnn_type: str = "LSTM"
 
     @nn.compact
-    def __call__(self, wav):
+    def __call__(self, wav, train: bool = False):  # train: API uniformity; reference applies no dropout here
         was_one_d = wav.ndim == 1
         if wav.ndim == 1:
             wav = wav[None]

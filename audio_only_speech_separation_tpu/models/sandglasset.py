@@ -50,12 +50,17 @@ class GlobalAttnLayer(nn.Module):
 
     channels: int
     n_head: int
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x):  # [B, S, D]
-        out = MultiheadAttention(self.channels, self.n_head, name="attn")(x)
+    def __call__(self, x, train: bool = False):  # [B, S, D]
+        out = MultiheadAttention(
+            self.channels, self.n_head, dropout=self.dropout, name="attn"
+        )(x, train=train)
         # reference quirk: residual adds dropout(output) to output, not input
-        return nn.LayerNorm(name="norm")(out + out)
+        res = nn.Dropout(self.dropout, deterministic=not train)(out) \
+            if self.dropout > 0.0 else out
+        return nn.LayerNorm(name="norm")(out + res)
 
 
 class SandglassetBlock(nn.Module):
@@ -67,9 +72,10 @@ class SandglassetBlock(nn.Module):
     block_i: int = 2
     model_n_block: int = 6
     chunk_size: int = 64
+    dropout: float = 0.0
 
     @nn.compact
-    def __call__(self, x, skip_connect=None):
+    def __call__(self, x, skip_connect=None, train: bool = False):
         B, D, K, S = x.shape
         # intra-chunk BiLSTM
         local_in = jnp.transpose(x, (0, 3, 2, 1)).reshape(B * S, K, D)
@@ -94,7 +100,9 @@ class SandglassetBlock(nn.Module):
         h = nn.LayerNorm(name="attn_in_norm")(g)
         h = h + sinusoidal_positions(S, D, h.dtype)[:, None, :]
         h = jnp.swapaxes(h, 0, 1)  # [B*Q, S, D]
-        h = GlobalAttnLayer(D, self.n_head, name="attn_layer")(h)
+        h = GlobalAttnLayer(D, self.n_head, dropout=self.dropout, name="attn_layer")(
+            h, train=train
+        )
         g_out = jnp.swapaxes(h, 0, 1)  # [S, B*Q, D]
         skip_out = g_out
 
@@ -128,7 +136,7 @@ class Sandglasset(BaseModel):
     sample_rate: int = 16000
 
     @nn.compact
-    def __call__(self, wav):
+    def __call__(self, wav, train: bool = False):
         was_one_d = wav.ndim == 1
         if wav.ndim == 1:
             wav = wav[None]
@@ -167,13 +175,14 @@ class Sandglasset(BaseModel):
                 block_i=i,
                 model_n_block=self.n_repeats,
                 chunk_size=self.chunk_size,
+                dropout=self.dropout,
                 name=f"sep_{i}",
             )
             if i < self.n_repeats // 2:
-                x, skip = block(x)
+                x, skip = block(x, train=train)
                 skips.append(skip)
             else:
-                x, _ = block(x, skip_connect=skips.pop())
+                x, _ = block(x, skip_connect=skips.pop(), train=train)
 
         # mask head: PReLU → 1×1 conv2d → Softplus
         x = PReLU(name="first_out_act")(x)

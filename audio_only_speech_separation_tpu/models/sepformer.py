@@ -27,26 +27,33 @@ from .base import BaseModel
 
 
 class SBTransformerLayer(nn.Module):
-    """Pre/post-norm transformer encoder layer on [B, T, d] (sepformer.py:278-365)."""
+    """Pre/post-norm transformer encoder layer on [B, T, d] (sepformer.py:278-365).
+
+    Train-time dropout (reference TransformerBlock default 0.1,
+    sepformer.py:507): attention weights, both residual branches
+    (dropout1/dropout2, sepformer.py:355,366) and inside the FFN after the
+    activation (sepformer.py:261)."""
 
     d_model: int
     nhead: int
     d_ffn: int
     norm_before: bool = True
+    dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, mask=None):
+    def __call__(self, x, mask=None, train: bool = False):
+        drop = lambda h: nn.Dropout(self.dropout, deterministic=not train)(h)
         src1 = nn.LayerNorm(epsilon=1e-6, name="norm1")(x) if self.norm_before else x
-        attn = MultiheadAttention(self.d_model, self.nhead, name="self_att")(
-            src1, mask=mask
-        )
-        x = x + attn
+        attn = MultiheadAttention(
+            self.d_model, self.nhead, dropout=self.dropout, name="self_att"
+        )(src1, mask=mask, train=train)
+        x = x + drop(attn)
         if not self.norm_before:
             x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         src1 = nn.LayerNorm(epsilon=1e-6, name="norm2")(x) if self.norm_before else x
         ffn = nn.Dense(self.d_ffn, name="ffn1")(src1)
-        ffn = nn.Dense(self.d_model, name="ffn2")(nn.relu(ffn))
-        x = x + ffn
+        ffn = nn.Dense(self.d_model, name="ffn2")(drop(nn.relu(ffn)))
+        x = x + drop(ffn)
         if not self.norm_before:
             x = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         return x
@@ -63,9 +70,10 @@ class SBTransformerBlock(nn.Module):
     use_positional_encoding: bool = False
     norm_before: bool = False
     is_causal: bool = False
+    dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         mask = None
         if self.is_causal:
             T = x.shape[1]
@@ -78,8 +86,9 @@ class SBTransformerBlock(nn.Module):
                 self.nhead,
                 self.d_ffn,
                 norm_before=self.norm_before,
+                dropout=self.dropout,
                 name=f"layer_{i}",
-            )(x, mask=mask)
+            )(x, mask=mask, train=train)
         return nn.LayerNorm(epsilon=1e-6, name="norm")(x)
 
 
@@ -91,16 +100,20 @@ class DualComputationBlock(nn.Module):
     inter_kwargs: dict
 
     @nn.compact
-    def __call__(self, x):  # [B, N, K, S]
+    def __call__(self, x, train: bool = False):  # [B, N, K, S]
         B, N, K, S = x.shape
         intra = jnp.transpose(x, (0, 3, 2, 1)).reshape(B * S, K, N)
-        intra = SBTransformerBlock(**self.intra_kwargs, name="intra_mdl")(intra)
+        intra = SBTransformerBlock(**self.intra_kwargs, name="intra_mdl")(
+            intra, train=train
+        )
         intra = jnp.transpose(intra.reshape(B, S, K, N), (0, 3, 2, 1))
         intra = GlobalLayerNorm(N, eps=1e-8, name="intra_norm")(intra)
         intra = intra + x
 
         inter = jnp.transpose(intra, (0, 2, 3, 1)).reshape(B * K, S, N)
-        inter = SBTransformerBlock(**self.inter_kwargs, name="inter_mdl")(inter)
+        inter = SBTransformerBlock(**self.inter_kwargs, name="inter_mdl")(
+            inter, train=train
+        )
         inter = jnp.transpose(inter.reshape(B, K, S, N), (0, 3, 1, 2))
         inter = GlobalLayerNorm(N, eps=1e-8, name="inter_norm")(inter)
         return inter + intra
@@ -127,10 +140,11 @@ class Sepformer(BaseModel):
     inter_norm_before: bool = True
     intra_causal: bool = False
     inter_causal: bool = False
+    dropout: float = 0.1  # reference TransformerBlock default (sepformer.py:507)
     sample_rate: int = 8000
 
     @nn.compact
-    def __call__(self, mix):
+    def __call__(self, mix, train: bool = False):
         was_one_d = mix.ndim == 1
         if mix.ndim == 1:
             mix = mix[None]
@@ -158,6 +172,7 @@ class Sepformer(BaseModel):
             use_positional_encoding=self.intra_use_positional,
             norm_before=self.intra_norm_before,
             is_causal=self.intra_causal,
+            dropout=self.dropout,
         )
         inter_kwargs = dict(
             num_layers=self.inter_numlayers,
@@ -167,13 +182,14 @@ class Sepformer(BaseModel):
             use_positional_encoding=self.inter_use_positional,
             norm_before=self.inter_norm_before,
             is_causal=self.inter_causal,
+            dropout=self.dropout,
         )
         x = chunks
         for i in range(self.masknet_numlayers):
             # independent params per dual layer (reference deepcopy semantics)
             x = DualComputationBlock(
                 N, intra_kwargs, inter_kwargs, name=f"dual_mdl_{i}"
-            )(x)
+            )(x, train=train)
         x = PReLU(name="mask_prelu")(x)
 
         # 1×1 conv2d to spks: channel matmul on [B, N, K, S]

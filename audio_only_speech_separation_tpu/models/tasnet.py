@@ -59,7 +59,7 @@ class TasNet(BaseModel):
         return x, rest
 
     @nn.compact
-    def __call__(self, wav):
+    def __call__(self, wav, train: bool = False):  # train: API uniformity; reference applies no dropout here
         assert self.module in (
             "DPRNN",
             "DPTNet",

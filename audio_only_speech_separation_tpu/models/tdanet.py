@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..ops.activations import PReLU
 from ..ops.attention import MultiheadAttention, sinusoidal_positions
 from ..ops.conv import Conv1d, ConvTranspose1d, PointwiseConv
+from ..ops.dropout import DropPath
 from ..ops.norms import GlobalLayerNorm
 from ..ops.resample import adaptive_avg_pool1d, interpolate_nearest
 from . import register_model
@@ -28,13 +29,14 @@ from .blocks.sudo import ConvNorm, ConvNormAct, DilatedConvNorm
 
 
 class Mlp(nn.Module):
-    """1×1 → depthwise 5-conv → ReLU → 1×1 (tdanet.py:197-213)."""
+    """1×1 → depthwise 5-conv → ReLU → drop → 1×1 → drop (tdanet.py:197-213)."""
 
     in_features: int
     hidden_size: int
+    drop: float = 0.1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         h = ConvNorm(self.hidden_size, 1, use_bias=False, name="fc1")(x)
         h = Conv1d(
             self.hidden_size,
@@ -44,7 +46,9 @@ class Mlp(nn.Module):
             name="dwconv",
         )(h)
         h = nn.relu(h)
-        return ConvNorm(self.in_features, 1, use_bias=False, name="fc2")(h)
+        h = nn.Dropout(self.drop, deterministic=not train)(h)
+        h = ConvNorm(self.in_features, 1, use_bias=False, name="fc2")(h)
+        return nn.Dropout(self.drop, deterministic=not train)(h)
 
 
 class TDAAttention(nn.Module):
@@ -60,28 +64,38 @@ class TDAAttention(nn.Module):
 
     channels: int
     n_head: int = 8
+    dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         h = jnp.swapaxes(x, 1, 2)  # [B, T, C]
         h = nn.LayerNorm(name="attn_in_norm")(h)
         h = h + sinusoidal_positions(h.shape[1], self.channels, h.dtype)[None]
         # (batch=T, seq=B): reference's seq-first misuse, replicated
         hq = jnp.swapaxes(h, 0, 1)  # [T, B, C]
-        out = MultiheadAttention(self.channels, self.n_head, name="attn")(hq)
+        out = MultiheadAttention(
+            self.channels, self.n_head, dropout=self.dropout, name="attn"
+        )(hq, train=train)
         out = jnp.swapaxes(out, 0, 1)  # [B, T, C]
-        out = nn.LayerNorm(name="norm")(out + out)
+        # residual is output + dropout(output) — identity-doubled at eval
+        out = nn.LayerNorm(name="norm")(
+            out + nn.Dropout(self.dropout, deterministic=not train)(out)
+        )
         return jnp.swapaxes(out, 1, 2)
 
 
 class GlobalAttention(nn.Module):
+    """attn/mlp residuals under DropPath 0.1 (tdanet.py:251-261,329)."""
+
     in_chan: int
     out_chan: int
+    drop_path: float = 0.1
 
     @nn.compact
-    def __call__(self, x):
-        x = x + TDAAttention(self.out_chan, name="attn")(x)
-        x = x + Mlp(self.out_chan, self.out_chan * 2, name="mlp")(x)
+    def __call__(self, x, train: bool = False):
+        dp = DropPath(self.drop_path, name="drop_path")
+        x = x + dp(TDAAttention(self.out_chan, name="attn")(x, train=train), train)
+        x = x + dp(Mlp(self.out_chan, self.out_chan * 2, name="mlp")(x, train=train), train)
         return x
 
 
@@ -118,7 +132,7 @@ class TDAUConvBlock(nn.Module):
     upsampling_depth: int = 4
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         residual = x
         y = ConvNormAct(self.in_channels, 1, name="proj_1x1")(x)
         pyramid = [
@@ -137,7 +151,7 @@ class TDAUConvBlock(nn.Module):
         global_f = sum(adaptive_avg_pool1d(f, T_last) for f in pyramid)
         global_f = GlobalAttention(
             self.in_channels * self.upsampling_depth, self.in_channels, name="globalatt"
-        )(global_f)
+        )(global_f, train=train)
 
         fused = [
             InjectionMultiSum(self.in_channels, self.in_channels, name=f"fus_{i}")(
@@ -165,7 +179,7 @@ class Recurrent(nn.Module):
     unfold: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         mixture = x
         if self.unfold:
             unet = TDAUConvBlock(
@@ -173,7 +187,7 @@ class Recurrent(nn.Module):
             )
             gate = DepthwiseGate(self.out_channels, name="concat_block")
             for i in range(self.iters):
-                x = unet(x) if i == 0 else unet(gate(mixture + x))
+                x = unet(x, train) if i == 0 else unet(gate(mixture + x), train)
         else:
             for i in range(self.iters):
                 block = TDAUConvBlock(
@@ -183,10 +197,10 @@ class Recurrent(nn.Module):
                     name=f"unet_{i}",
                 )
                 if i == 0:
-                    x = block(x)
+                    x = block(x, train)
                 else:
                     g = DepthwiseGate(self.out_channels, name=f"concat_block_{i-1}")
-                    x = block(g(mixture + x))
+                    x = block(g(mixture + x), train)
         return x
 
 
@@ -202,7 +216,7 @@ class TDANet(BaseModel):
     unfold: bool = True
 
     @nn.compact
-    def __call__(self, wav):
+    def __call__(self, wav, train: bool = False):
         was_one_d = wav.ndim == 1
         if wav.ndim == 1:
             wav = wav[None]
@@ -237,7 +251,7 @@ class TDANet(BaseModel):
             self.num_blocks,
             self.unfold,
             name="sm",
-        )(h)
+        )(h, train=train)
         h = PReLU(name="mask_act")(h)
         h = PointwiseConv(self.num_sources * basis, name="mask_conv")(h)
         mask = nn.relu(h.reshape(B, self.num_sources, basis, -1))

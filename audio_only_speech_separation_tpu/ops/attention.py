@@ -18,11 +18,16 @@ import numpy as np
 
 
 class MultiheadAttention(nn.Module):
-    """Self/cross attention on [B, T, E] with torch parameter layout."""
+    """Self/cross attention on [B, T, E] with torch parameter layout.
+
+    ``dropout`` matches torch's ``nn.MultiheadAttention(dropout=...)``:
+    applied to the post-softmax attention weights, train-time only.
+    """
 
     embed_dim: int
     num_heads: int
     use_bias: bool = True
+    dropout: float = 0.0
 
     @nn.compact
     def __call__(
@@ -31,6 +36,7 @@ class MultiheadAttention(nn.Module):
         key: Optional[jnp.ndarray] = None,
         value: Optional[jnp.ndarray] = None,
         mask: Optional[jnp.ndarray] = None,  # broadcastable to [B, h, Tq, Tk]
+        train: bool = False,
     ):
         key = query if key is None else key
         value = key if value is None else value
@@ -65,6 +71,8 @@ class MultiheadAttention(nn.Module):
         if mask is not None:
             logits = jnp.where(mask, logits, jnp.finfo(logits.dtype).min)
         attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        if self.dropout > 0.0:
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=v.dtype)
         out = out.reshape(*query.shape[:2], E)
         out = nn.Dense(E, use_bias=self.use_bias, name="out_proj")(out)

@@ -28,14 +28,17 @@ def interpolate_nearest(x: jnp.ndarray, size: int) -> jnp.ndarray:
 
 
 @lru_cache(maxsize=64)
-def _adaptive_pool_matrix(in_size: int, out_size: int):
-    """[in, out] averaging matrix with torch adaptive_avg_pool1d windows."""
+def _adaptive_pool_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """[in, out] averaging matrix with torch adaptive_avg_pool1d windows.
+
+    Cached as NUMPY: caching a jnp array created under a trace would leak
+    that trace's tracer into later jit invocations."""
     m = np.zeros((in_size, out_size), dtype=np.float32)
     for i in range(out_size):
         start = (i * in_size) // out_size
         end = -(-((i + 1) * in_size) // out_size)  # ceil
         m[start:end, i] = 1.0 / (end - start)
-    return jnp.asarray(m)
+    return m
 
 
 def adaptive_avg_pool1d(x: jnp.ndarray, output_size: int) -> jnp.ndarray:
@@ -43,7 +46,7 @@ def adaptive_avg_pool1d(x: jnp.ndarray, output_size: int) -> jnp.ndarray:
     T = x.shape[-1]
     if output_size == T:
         return x
-    m = _adaptive_pool_matrix(T, output_size)
+    m = jnp.asarray(_adaptive_pool_matrix(T, output_size))
     return jnp.einsum("...t,to->...o", x, m)
 
 
@@ -62,8 +65,9 @@ def avg_pool1d(x: jnp.ndarray, kernel: int, stride: int | None = None) -> jnp.nd
 
 
 @lru_cache(maxsize=64)
-def _linear_interp_matrix(in_size: int, out_size: int):
-    """[in, out] matrix for torch Upsample(mode='linear', align_corners=True)."""
+def _linear_interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """[in, out] matrix for torch Upsample(mode='linear', align_corners=True).
+    Cached as numpy (see _adaptive_pool_matrix)."""
     m = np.zeros((in_size, out_size), dtype=np.float32)
     if in_size == 1:
         m[0, :] = 1.0
@@ -75,7 +79,7 @@ def _linear_interp_matrix(in_size: int, out_size: int):
             frac = src - lo
             m[lo, j] += 1.0 - frac
             m[hi, j] += frac
-    return jnp.asarray(m)
+    return m
 
 
 def interpolate_linear_align_corners(x: jnp.ndarray, size: int) -> jnp.ndarray:
@@ -83,4 +87,4 @@ def interpolate_linear_align_corners(x: jnp.ndarray, size: int) -> jnp.ndarray:
     T = x.shape[-1]
     if size == T:
         return x
-    return jnp.einsum("...t,to->...o", x, _linear_interp_matrix(T, size))
+    return jnp.einsum("...t,to->...o", x, jnp.asarray(_linear_interp_matrix(T, size)))

@@ -48,12 +48,14 @@ def stft(
 
 @lru_cache(maxsize=8)
 def _dft_matrices(n_fft: int):
+    """Cached as NUMPY — caching jnp arrays created under a trace would
+    leak tracers into later jit invocations (see ops/resample.py)."""
     k = np.arange(n_fft // 2 + 1)[:, None]
     n = np.arange(n_fft)[None, :]
     ang = -2.0 * np.pi * k * n / n_fft
     return (
-        jnp.asarray(np.cos(ang).T, jnp.float32),  # [n_fft, F]
-        jnp.asarray(np.sin(ang).T, jnp.float32),
+        np.asarray(np.cos(ang).T, np.float32),  # [n_fft, F]
+        np.asarray(np.sin(ang).T, np.float32),
     )
 
 

@@ -11,7 +11,7 @@ from .schedulers import (
 )
 from .checkpoints import CheckpointManager
 from .system import AudioLightningModule, AudioSystem
-from .trainer import EarlyStopping, ScalarLogger, Trainer
+from .trainer import EarlyStopping, Trainer
 
 __all__ = [
     "make_optimizer",
@@ -27,10 +27,21 @@ __all__ = [
     "AudioSystem",
     "AudioLightningModule",
     "EarlyStopping",
-    "ScalarLogger",
     "Trainer",
 ]
 
-from .loggers import CometLogger, CSVLogger, TensorBoardLogger, make_logger  # noqa: E402
+from .loggers import (  # noqa: E402
+    CometLogger,
+    CSVLogger,
+    TensorBoardLogger,
+    make_default_logger,
+    make_logger,
+)
 
-__all__ += ["CSVLogger", "TensorBoardLogger", "CometLogger", "make_logger"]
+__all__ += [
+    "CSVLogger",
+    "TensorBoardLogger",
+    "CometLogger",
+    "make_logger",
+    "make_default_logger",
+]

@@ -119,6 +119,47 @@ class CometLogger(BaseLogger):
         self.experiment.end()
 
 
+class CompositeLogger(BaseLogger):
+    """Fan-out to several loggers (CSV always + TB when available)."""
+
+    def __init__(self, loggers):
+        self.loggers = list(loggers)
+
+    def log_scalar(self, tag, value, step):
+        for lg in self.loggers:
+            lg.log_scalar(tag, value, step)
+
+    def log_histogram(self, tag, values, step):
+        for lg in self.loggers:
+            lg.log_histogram(tag, values, step)
+
+    def log_embedding(self, tag, mat, metadata=None, step=0):
+        for lg in self.loggers:
+            lg.log_embedding(tag, mat, metadata=metadata, step=step)
+
+    def log_text(self, tag, text, step=0):
+        for lg in self.loggers:
+            lg.log_text(tag, text, step)
+
+    def log_hyperparams(self, params):
+        for lg in self.loggers:
+            lg.log_hyperparams(params)
+
+    def close(self):
+        for lg in self.loggers:
+            lg.close()
+
+
+def make_default_logger(log_dir: str) -> BaseLogger:
+    """The Trainer default: CSV always, TensorBoard when torch is present."""
+    loggers: list = [CSVLogger(log_dir)]
+    try:
+        loggers.append(TensorBoardLogger(log_dir, name=""))
+    except ImportError:
+        pass
+    return CompositeLogger(loggers)
+
+
 def make_logger(kind: str, log_dir: str, **kwargs) -> BaseLogger:
     if kind == "csv":
         return CSVLogger(log_dir)

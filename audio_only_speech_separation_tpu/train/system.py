@@ -32,15 +32,37 @@ class AudioSystem:
         self.val_loader = val_loader
         self.test_loader = test_loader
         self.scheduler = scheduler
-        self.config = self.config_to_hparams(config or {})
+        self.config = config or {}
+        # sanitized flat view for hparam logging (Lightning's save_hyperparameters)
+        self.hparams = self.config_to_hparams(self.config)
         # Lightning-parity default monitor key (audio_litmodule.py:61)
         self.default_monitor = "val_loss/dataloader_idx_0"
 
     @staticmethod
     def config_to_hparams(dic: dict) -> dict:
-        """Flatten None→str and lists→str for hparam logging
-        (reference audio_litmodule.py:14-34 semantics)."""
-        return dic
+        """Flatten the nested config and sanitize values for hparam logging
+        (reference audio_litmodule.py:14-34,190-209): nested keys join with
+        "_", ``None`` becomes the string "None", lists/tuples become numpy
+        arrays (the reference converts to torch.Tensor for SummaryWriter)."""
+        import numpy as np
+
+        def flatten(d: dict, parent: str = "") -> dict:
+            items: dict = {}
+            for k, v in d.items():
+                key = f"{parent}_{k}" if parent else str(k)
+                if isinstance(v, dict):
+                    items.update(flatten(v, key))
+                else:
+                    items[key] = v
+            return items
+
+        flat = flatten(dict(dic))
+        for k, v in flat.items():
+            if v is None:
+                flat[k] = "None"
+            elif isinstance(v, (list, tuple)):
+                flat[k] = np.asarray(v)
+        return flat
 
 
 # API-parity alias: configs say `system: AudioLightningModule`

@@ -32,6 +32,7 @@ import optax
 from ..models import serialize, save_serialized
 from ..parallel import make_mesh, replicate, shard_batch
 from .checkpoints import CheckpointManager
+from .loggers import BaseLogger, make_default_logger
 from .optimizers import set_learning_rate
 from .schedulers import NoamLR
 
@@ -67,34 +68,6 @@ class EarlyStopping:
         self.__dict__.update(state)
 
 
-class ScalarLogger:
-    """CSV always; TensorBoard when torch is importable."""
-
-    def __init__(self, log_dir: str):
-        os.makedirs(log_dir, exist_ok=True)
-        self.csv_path = os.path.join(log_dir, "scalars.csv")
-        if not os.path.exists(self.csv_path):
-            with open(self.csv_path, "w") as f:
-                f.write("step,tag,value\n")
-        self.tb = None
-        try:
-            from torch.utils.tensorboard import SummaryWriter
-
-            self.tb = SummaryWriter(log_dir)
-        except Exception:
-            pass
-
-    def log(self, tag: str, value: float, step: int):
-        with open(self.csv_path, "a") as f:
-            f.write(f"{step},{tag},{value}\n")
-        if self.tb is not None:
-            self.tb.add_scalar(tag, value, step)
-
-    def close(self):
-        if self.tb is not None:
-            self.tb.close()
-
-
 class Trainer:
     def __init__(
         self,
@@ -109,6 +82,7 @@ class Trainer:
         donate: bool = True,
         precision: str = "float32",
         remat: bool = False,
+        logger: Optional[BaseLogger] = None,
     ):
         self.exp_dir = exp_dir
         self.epochs = epochs
@@ -128,7 +102,9 @@ class Trainer:
             k: v for k, v in ck.items() if k in (
                 "monitor", "mode", "save_top_k", "save_last", "filename")
         })
-        self.logger = ScalarLogger(logger_dir or os.path.join(exp_dir, "logs"))
+        self.logger = logger or make_default_logger(
+            logger_dir or os.path.join(exp_dir, "logs")
+        )
         self.state: Dict[str, Any] = {}
 
     # ---------------------------------------------------------------- steps
@@ -139,14 +115,24 @@ class Trainer:
         val_loss = system.loss_func["val"]
 
         bf16 = self.precision == "bfloat16"
-        apply_fn = model.apply
+
+        # train-mode apply: dropout/DropPath active, fed from the per-step
+        # fold of the base key (reference models train with dropout —
+        # tdanet.py:198-213, sepformer.py:507, bsrnn.py:14-31)
+        def train_apply(p, m, r):
+            return model.apply(p, m, train=True, rngs={"dropout": r})
+
+        eval_apply = model.apply
         if self.remat:
             # rematerialize activations in the backward pass: trades FLOPs
             # for HBM — lets long-utterance/large-batch configs fit
-            apply_fn = jax.checkpoint(model.apply)
+            train_apply = jax.checkpoint(train_apply)
 
-        def _loss(params, batch, loss_func):
+        base_key = jax.random.PRNGKey(self.seed + 1)
+
+        def _loss(params, batch, loss_func, rng=None):
             mix, sources = batch
+            fwd = eval_apply if rng is None else partial(train_apply, r=rng)
             if bf16:
                 # mixed precision: bf16 forward/backward, f32 master params,
                 # loss always in f32 (the cast has a well-defined VJP)
@@ -156,15 +142,18 @@ class Trainer:
                     else x,
                     params,
                 )
-                est = apply_fn(p, mix.astype(jnp.bfloat16))
+                est = fwd(p, mix.astype(jnp.bfloat16))
                 est = est.astype(jnp.float32)
             else:
-                est = apply_fn(params, mix)
+                est = fwd(params, mix)
             return loss_func(est, sources)
 
         @partial(jax.jit, donate_argnums=(0, 1) if self.donate else ())
-        def train_step(params, opt_state, batch):
-            loss, grads = jax.value_and_grad(_loss)(params, batch, train_loss)
+        def train_step(params, opt_state, batch, step):
+            rng = jax.random.fold_in(base_key, step)
+            loss, grads = jax.value_and_grad(_loss)(
+                params, batch, train_loss, rng
+            )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
@@ -177,7 +166,38 @@ class Trainer:
 
     def _device_batch(self, np_batch):
         mix, sources, _keys = np_batch
-        return shard_batch((jnp.asarray(mix), jnp.asarray(sources)), self.mesh)
+        batch = (jnp.asarray(mix), jnp.asarray(sources))
+        # a tail batch (drop_last=False eval) may not divide the dp mesh:
+        # place it replicated — every device computes it redundantly, but
+        # the loss is exact and it's at most one batch per epoch
+        if len(mix) % self.mesh.devices.size != 0:
+            return replicate(batch, self.mesh)
+        return shard_batch(batch, self.mesh)
+
+    def _eval_epoch(self, val_step, params, loader) -> float:
+        """Batch-size-weighted mean loss over a loader.
+
+        Device scalars accumulate lazily — one host sync at the end, not
+        one per batch.  With host-sharded eval loaders the per-host
+        weighted sums are combined across processes, so the global mean
+        is exact even when shards differ in size."""
+        tot = None
+        wsum = 0
+        for b in loader:
+            n = len(b[0])
+            loss = val_step(params, self._device_batch(b)) * n
+            tot = loss if tot is None else tot + loss
+            wsum += n
+        if jax.process_count() > 1:  # pragma: no cover - multi-host only
+            from jax.experimental import multihost_utils
+
+            sums = multihost_utils.process_allgather(
+                jnp.asarray([float(tot), float(wsum)])
+            )
+            return float(sums[:, 0].sum() / sums[:, 1].sum())
+        if tot is None:
+            return float("nan")
+        return float(tot) / wsum
 
     # ----------------------------------------------------------------- fit
     def fit(self, system):
@@ -219,50 +239,59 @@ class Trainer:
         )
 
         train_step, val_step = self._build_steps(system)
+        self.logger.log_hyperparams(getattr(system, "hparams", None) or {})
 
         stop = False
+        global_step = start_epoch * max(1, len(train_loader))
+        current_lr = getattr(scheduler, "lr", None)
         for epoch in range(start_epoch, self.epochs):
             if stop:
                 break
             t0 = time.time()
             train_loader.set_epoch(epoch)
-            losses = []
+            loss_sum, nseen = None, 0
             for np_batch in train_loader:
                 batch = self._device_batch(np_batch)
-                params, opt_state, loss = train_step(params, opt_state, batch)
+                n = len(np_batch[0])
+                params, opt_state, loss = train_step(
+                    params, opt_state, batch, global_step
+                )
+                global_step += 1
                 if isinstance(scheduler, NoamLR):
-                    opt_state = set_learning_rate(opt_state, scheduler.step_batch())
-                losses.append(loss)
-            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+                    current_lr = scheduler.step_batch()
+                    opt_state = set_learning_rate(opt_state, current_lr)
+                loss = loss * n
+                loss_sum = loss if loss_sum is None else loss_sum + loss
+                nseen += n
+            train_loss = (
+                float(loss_sum) / nseen if loss_sum is not None else float("nan")
+            )
 
-            val_losses = [
-                float(val_step(params, self._device_batch(b))) for b in val_loader
-            ]
-            val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+            val_loss = self._eval_epoch(val_step, params, val_loader)
 
             test_loss = None
             if test_loader is not None and epoch % self.test_every == 0:
-                test_losses = [
-                    float(val_step(params, self._device_batch(b))) for b in test_loader
-                ]
-                test_loss = float(np.mean(test_losses)) if test_losses else None
+                test_loss = self._eval_epoch(val_step, params, test_loader)
 
-            # scheduler + logging
-            lr = None
+            # scheduler + logging (reference scalar names:
+            # audio_litmodule.py:79-148 — train/val/test_loss,
+            # learning_rate, val_pit_sisnr, test_pit_sisnr)
             if scheduler is not None and not isinstance(scheduler, NoamLR):
-                lr = scheduler.step(val_loss)
-                opt_state = set_learning_rate(opt_state, lr)
-            self.logger.log("train_loss", train_loss, epoch)
-            self.logger.log("val_loss", val_loss, epoch)
+                current_lr = scheduler.step(val_loss)
+                opt_state = set_learning_rate(opt_state, current_lr)
+            self.logger.log_scalar("train_loss", train_loss, epoch)
+            self.logger.log_scalar("val_loss", val_loss, epoch)
+            self.logger.log_scalar("val_pit_sisnr", -val_loss, epoch)
             if test_loss is not None:
-                self.logger.log("test_loss", test_loss, epoch)
-            if lr is not None:
-                self.logger.log("learning_rate", lr, epoch)
+                self.logger.log_scalar("test_loss", test_loss, epoch)
+                self.logger.log_scalar("test_pit_sisnr", -test_loss, epoch)
+            if current_lr is not None:
+                self.logger.log_scalar("learning_rate", current_lr, epoch)
             dt = time.time() - t0
             print(
                 f"epoch {epoch}: train_loss={train_loss:.4f} val_loss={val_loss:.4f}"
                 + (f" test_loss={test_loss:.4f}" if test_loss is not None else "")
-                + (f" lr={lr:.2e}" if lr is not None else "")
+                + (f" lr={current_lr:.2e}" if current_lr is not None else "")
                 + f" ({dt:.1f}s)"
             )
 

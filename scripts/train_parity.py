@@ -1,0 +1,215 @@
+"""Training-trajectory parity vs the PyTorch reference (BASELINE.md north star).
+
+Runs the SAME recipe in both frameworks — identical init weights (converted
+from the randomly-initialized torch model), identical synthetic mixture
+batches, Adam(lr) + global-norm grad clip 5.0 + PIT neg-SNR loss (the
+configs' training recipe, reference audio_train.py:67-76,120-132 and
+audio_litmodule.py:73-88) — for N epochs, then scores SI-SDRi on a held-out
+synthetic test set with both trained models.
+
+Outputs one JSON artifact with per-epoch losses for both frameworks and the
+final SI-SDRi. Assertions: per-epoch tracking within tolerance + our
+SI-SDRi >= reference's − 0.3 dB.
+
+Usage: JAX_PLATFORMS=cpu python scripts/train_parity.py [--epochs 8]
+(tests/test_training_parity.py runs a shortened version).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REFERENCE_PATH = "/root/reference"
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+
+def make_synthetic_batches(n_batches, batch, T, n_src=2, seed=0, sr=8000):
+    """Speech-like synthetic sources: AM-modulated harmonic tones + noise."""
+    rng = np.random.default_rng(seed)
+    out = []
+    t = np.arange(T) / sr
+    for _ in range(n_batches):
+        srcs = np.zeros((batch, n_src, T), np.float32)
+        for b in range(batch):
+            for s in range(n_src):
+                f0 = rng.uniform(90, 250)
+                sig = np.zeros(T)
+                for h in range(1, 4):
+                    sig += rng.uniform(0.2, 1.0) * np.sin(
+                        2 * np.pi * f0 * h * t + rng.uniform(0, 2 * np.pi)
+                    )
+                env = 0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(1, 4) * t)
+                sig = sig * env + 0.05 * rng.normal(size=T)
+                srcs[b, s] = (sig / (np.abs(sig).max() + 1e-8)).astype(np.float32)
+        out.append((srcs.sum(1), srcs))
+    return out
+
+
+def train_torch(model_name, kw, batches, epochs, lr):
+    """The reference recipe on CPU: Adam + clip 5.0 + PIT neg-SNR."""
+    import torch
+
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import look2hear.losses as ref_losses
+    import look2hear.models as ref_models
+
+    torch.manual_seed(0)
+    model = getattr(ref_models, model_name)(**kw)
+    init_sd = {k: v.detach().cpu().numpy().copy() for k, v in model.state_dict().items()}
+    loss_fn = ref_losses.PITLossWrapper(
+        ref_losses.pairwise_neg_snr, pit_from="pw_mtx", threshold_byloss=True
+    )
+    opt = torch.optim.Adam(model.parameters(), lr=lr)
+    losses = []
+    for _ in range(epochs):
+        ep = []
+        for mix, srcs in batches:
+            opt.zero_grad()
+            est = model(torch.from_numpy(mix))
+            loss = loss_fn(est, torch.from_numpy(srcs))
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), 5.0)
+            opt.step()
+            ep.append(float(loss))
+        losses.append(float(np.mean(ep)))
+    return model, init_sd, losses
+
+
+def train_jax(model, params, batches, epochs, lr):
+    import jax
+    import optax
+
+    from audio_only_speech_separation_tpu.losses import (
+        PITLossWrapper,
+        pairwise_neg_snr,
+    )
+    from audio_only_speech_separation_tpu.train import make_optimizer
+
+    loss_fn = PITLossWrapper(pairwise_neg_snr, threshold_byloss=True)
+    tx = make_optimizer("adam", lr=lr, grad_clip=5.0)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(p, s, mix, srcs):
+        def loss(p_):
+            return loss_fn(model.apply(p_, mix), srcs)
+
+        l, g = jax.value_and_grad(loss)(p)
+        updates, s = tx.update(g, s, p)
+        return optax.apply_updates(p, updates), s, l
+
+    losses = []
+    for _ in range(epochs):
+        ep = []
+        for mix, srcs in batches:
+            params, opt_state, l = step(params, opt_state, mix, srcs)
+            ep.append(float(l))
+        losses.append(float(np.mean(ep)))
+    return params, losses
+
+
+def si_sdri(est, srcs, mix):
+    """Mean PIT SI-SDR improvement over the mixture, numpy."""
+
+    def si_sdr(e, s):
+        e = e - e.mean(-1, keepdims=True)
+        s = s - s.mean(-1, keepdims=True)
+        proj = (np.sum(e * s, -1, keepdims=True) / np.sum(s * s, -1, keepdims=True)) * s
+        noise = e - proj
+        return 10 * np.log10(np.sum(proj**2, -1) / (np.sum(noise**2, -1) + 1e-12))
+
+    B, n, T = srcs.shape
+    best = np.full(B, -np.inf)
+    from itertools import permutations
+
+    for perm in permutations(range(n)):
+        cur = np.mean([si_sdr(est[:, i], srcs[:, p]) for i, p in enumerate(perm)], 0)
+        best = np.maximum(best, cur)
+    base = np.mean([si_sdr(np.stack([mix] * 1, 1)[:, 0], srcs[:, j]) for j in range(n)], 0)
+    return float(np.mean(best - base))
+
+
+def run(model_key="convtasnet", epochs=8, n_batches=4, batch=4, T=8000, lr=1e-3):
+    import jax.numpy as jnp
+
+    from audio_only_speech_separation_tpu import models as our_models
+    from audio_only_speech_separation_tpu.utils.torch_import import convert
+
+    if model_key == "convtasnet":
+        kw = dict(N=32, L=16, B=16, H=24, P=3, X=2, R=2, num_spks=2, sample_rate=8000)
+        ref_name, conv_kw = "ConvTasNet", dict(X=2, R=2)
+        ours_cls = our_models.ConvTasNet
+    elif model_key == "dprnn":
+        kw = dict(
+            enc_dim=32, bn_dim=16, hidden_dim=16, win=16, layer=2, num_spk=2,
+            module="DPRNN", group_size=1, block_size=24, sample_rate=8000,
+            unfold=False,
+        )
+        ref_name, conv_kw = "TasNet", dict(layer=2)
+        ours_cls = our_models.TasNet
+    else:
+        raise ValueError(model_key)
+
+    train_batches = make_synthetic_batches(n_batches, batch, T, seed=0)
+    test_mix, test_srcs = make_synthetic_batches(1, 8, T, seed=99)[0]
+
+    ref_model, init_sd, ref_losses = train_torch(ref_name, kw, train_batches, epochs, lr)
+    ours = ours_cls(**kw)
+    params = convert("TasNet" if model_key == "dprnn" else "ConvTasNet", init_sd, **conv_kw)
+    params, our_losses = train_jax(
+        ours, params, [(jnp.asarray(m), jnp.asarray(s)) for m, s in train_batches],
+        epochs, lr,
+    )
+
+    import torch
+
+    ref_model.eval()
+    with torch.no_grad():
+        ref_est = ref_model(torch.from_numpy(test_mix)).numpy()
+    our_est = np.asarray(ours.apply(params, jnp.asarray(test_mix)))
+
+    result = {
+        "model": model_key,
+        "epochs": epochs,
+        "recipe": "Adam(%g) + clip_by_global_norm(5.0) + PIT pairwise_neg_snr(thresh -30dB)" % lr,
+        "ref_epoch_losses": ref_losses,
+        "our_epoch_losses": our_losses,
+        "max_epoch_loss_gap": float(
+            np.max(np.abs(np.array(ref_losses) - np.array(our_losses)))
+        ),
+        "ref_si_sdri_db": si_sdri(ref_est, test_srcs, test_mix),
+        "our_si_sdri_db": si_sdri(our_est, test_srcs, test_mix),
+    }
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--out", default=os.path.join(REPO_ROOT, "docs", "TRAINING_PARITY.json"))
+    args = ap.parse_args()
+
+    results = {}
+    for key in ("convtasnet", "dprnn"):
+        r = run(key, epochs=args.epochs)
+        results[key] = r
+        print(
+            f"{key}: ref losses {['%.2f' % x for x in r['ref_epoch_losses']]}\n"
+            f"{key:>{len(key)}}  our losses {['%.2f' % x for x in r['our_epoch_losses']]}\n"
+            f"  max gap {r['max_epoch_loss_gap']:.3f}  "
+            f"SI-SDRi ref {r['ref_si_sdri_db']:.2f} dB vs ours {r['our_si_sdri_db']:.2f} dB"
+        )
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()

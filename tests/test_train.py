@@ -178,3 +178,76 @@ class TestEndToEnd:
         m_sh, s_sh = shard_batch((mix, src), mesh)
         multi = float(jax.jit(loss)(p_rep, m_sh, s_sh))
         assert abs(single - multi) < 1e-3
+
+
+class VariableBatchLoader:
+    """Loader with a short tail batch (drop_last=False eval semantics)."""
+
+    def __init__(self, sizes=(4, 2), T=800, n_src=2, seed=0):
+        rng = np.random.default_rng(seed)
+        self.batches = []
+        for i, b in enumerate(sizes):
+            s = rng.normal(size=(b, n_src, T)).astype(np.float32) * 0.1
+            self.batches.append((s.sum(1), s, [f"k{i}_{j}" for j in range(b)]))
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+class TestEpochAccounting:
+    def test_eval_epoch_weights_tail_batch(self, tmp_path):
+        """Epoch mean must weight by batch size, not average batch means
+        (VERDICT r1 weak #8)."""
+        trainer = Trainer(exp_dir=str(tmp_path), epochs=1, mesh=make_mesh(1))
+        loader = VariableBatchLoader(sizes=(4, 2))
+
+        def val_step(params, batch):
+            # per-batch "loss" = batch size → weighted mean (4*4+2*2)/6
+            return jnp.asarray(float(batch[0].shape[0]))
+
+        got = trainer._eval_epoch(val_step, None, loader)
+        assert abs(got - 20.0 / 6.0) < 1e-6
+        assert abs(got - 3.0) > 1e-3  # unweighted mean would be 3.0
+
+
+class TestTrainWithDropout:
+    @pytest.mark.parametrize("remat", [False, True])
+    def test_fit_tdanet_dropout(self, tmp_path, remat):
+        """Dropout rngs thread through the jitted (and remat'd) train step."""
+        from audio_only_speech_separation_tpu.models import TDANet
+
+        model = TDANet(
+            out_channels=8, in_channels=8, num_blocks=1, upsampling_depth=4,
+            enc_kernel_size=4, num_sources=2, sample_rate=8000,
+        )
+        loss = {
+            "train": PITLossWrapper(pairwise_neg_snr, threshold_byloss=False),
+            "val": PITLossWrapper(pairwise_neg_snr, threshold_byloss=False),
+        }
+        system = AudioSystem(
+            audio_model=model,
+            loss_func=loss,
+            optimizer=make_optimizer("adam", lr=1e-3, grad_clip=5.0),
+            train_loader=FakeLoader(n_batches=2, batch=2, T=800),
+            val_loader=FakeLoader(n_batches=1, batch=2, T=800, seed=1),
+            test_loader=None,
+            scheduler=make_scheduler("ReduceLROnPlateau", lr=1e-3, patience=5),
+        )
+        trainer = Trainer(
+            exp_dir=str(tmp_path), epochs=2, mesh=make_mesh(2),
+            donate=False, remat=remat,
+        )
+        state = trainer.fit(system)
+        assert state["params"] is not None
+        # reference scalar names land in the CSV (audio_litmodule.py:136-148)
+        import csv
+
+        rows = list(csv.DictReader(open(os.path.join(tmp_path, "logs", "scalars.csv"))))
+        tags = {r["tag"] for r in rows}
+        assert {"train_loss", "val_loss", "val_pit_sisnr", "learning_rate"} <= tags
