@@ -2,6 +2,13 @@
 
 Parallel resolutions with neighbor up/down fusion + concat, iterated with
 shared weights and input re-injection.
+
+TPU mapping: the whole model executes channels-last ([B, T, C]) so every
+1×1 conv is an MXU matmul with a minor contraction axis, depthwise convs
+lower to shifted elementwise multiplies that fuse into their neighbors, and
+nearest upsampling is a broadcast repeat — no gathers, no grouped-conv
+lowering, no per-op relayout.  Parameters are identical to the
+channels-first modules, so reference-weight import is unaffected.
 """
 
 from __future__ import annotations
@@ -20,44 +27,55 @@ from .blocks.sudo import ConvNormAct, DilatedConvNorm
 
 
 class FRCNNBlock(nn.Module):
-    """One A-FRCNN block (reference afrcnn.py:154-224)."""
+    """One A-FRCNN block (reference afrcnn.py:154-224), on [B, T, C]."""
 
     out_channels: int = 128
     in_channels: int = 512
     upsampling_depth: int = 4
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x):  # [B, T, C]
         D = self.upsampling_depth
         C = self.in_channels
         residual = x
-        y = ConvNormAct(C, 1, name="proj_1x1")(x)
-        scales = [DilatedConvNorm(C, 5, stride=1, groups=C, name="spp_0")(y)]
+        y = ConvNormAct(C, 1, channels_last=True, name="proj_1x1")(x)
+        scales = [
+            DilatedConvNorm(C, 5, stride=1, groups=C, channels_last=True, name="spp_0")(y)
+        ]
         for k in range(1, D):
             scales.append(
-                DilatedConvNorm(C, 5, stride=2, groups=C, name=f"spp_{k}")(scales[-1])
+                DilatedConvNorm(
+                    C, 5, stride=2, groups=C, channels_last=True, name=f"spp_{k}"
+                )(scales[-1])
             )
 
         fused = []
         for i in range(D):
-            T_i = scales[i].shape[-1]
+            T_i = scales[i].shape[1]
             parts = []
             if i - 1 >= 0:
                 parts.append(
-                    DilatedConvNorm(C, 5, stride=2, groups=C, name=f"down_{i}")(
-                        scales[i - 1]
-                    )
+                    DilatedConvNorm(
+                        C, 5, stride=2, groups=C, channels_last=True, name=f"down_{i}"
+                    )(scales[i - 1])
                 )
             parts.append(scales[i])
             if i + 1 < D:
-                parts.append(interpolate_nearest(scales[i + 1], T_i))
-            y_i = jnp.concatenate(parts, axis=1)
-            fused.append(ConvNormAct(C, 1, name=f"concat_{i}")(y_i))
+                parts.append(interpolate_nearest(scales[i + 1], T_i, axis=1))
+            y_i = jnp.concatenate(parts, axis=-1)
+            fused.append(
+                ConvNormAct(C, 1, channels_last=True, name=f"concat_{i}")(y_i)
+            )
 
-        T0 = scales[0].shape[-1]
-        fused = [fused[0]] + [interpolate_nearest(f, T0) for f in fused[1:]]
-        concat = ConvNormAct(C, 1, name="last_layer")(jnp.concatenate(fused, axis=1))
-        return PointwiseConv(self.out_channels, name="res_conv")(concat) + residual
+        T0 = scales[0].shape[1]
+        fused = [fused[0]] + [interpolate_nearest(f, T0, axis=1) for f in fused[1:]]
+        concat = ConvNormAct(C, 1, channels_last=True, name="last_layer")(
+            jnp.concatenate(fused, axis=-1)
+        )
+        return (
+            PointwiseConv(self.out_channels, channels_last=True, name="res_conv")(concat)
+            + residual
+        )
 
 
 class RecurrentA(nn.Module):
@@ -69,12 +87,12 @@ class RecurrentA(nn.Module):
     iters: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x):  # [B, T, C]
         mixture = x
         block = FRCNNBlock(
             self.out_channels, self.in_channels, self.upsampling_depth, name="blocks"
         )
-        gate = DepthwiseGate(self.out_channels, name="concat_block")
+        gate = DepthwiseGate(self.out_channels, channels_last=True, name="concat_block")
         for i in range(self.iters):
             x = block(x) if i == 0 else block(gate(mixture + x))
         return x
@@ -107,12 +125,20 @@ class AFRCNN(BaseModel):
             wav = jnp.pad(wav, ((0, 0), (0, rest)))
         wav = jnp.pad(wav, ((0, 0), (k - stride, k - stride)))
 
+        # encoder conv(1→basis, k, stride): channels-last single-channel
+        # input path = one framed matmul
         enc = Conv1d(
-            basis, kernel_size=k, stride=stride, padding=k // 2, use_bias=False, name="encoder"
-        )(wav[:, None, :])
+            basis,
+            kernel_size=k,
+            stride=stride,
+            padding=k // 2,
+            use_bias=False,
+            channels_last=True,
+            name="encoder",
+        )(wav[:, :, None])  # [B, T', basis]
         s = enc
-        h = GlobalLayerNorm(basis, eps=1e-8, name="ln")(enc)
-        h = PointwiseConv(self.out_channels, name="bottleneck")(h)
+        h = GlobalLayerNorm(basis, eps=1e-8, channels_last=True, name="ln")(enc)
+        h = PointwiseConv(self.out_channels, channels_last=True, name="bottleneck")(h)
         h = RecurrentA(
             self.out_channels,
             self.in_channels,
@@ -121,12 +147,21 @@ class AFRCNN(BaseModel):
             name="sm",
         )(h)
         h = PReLU(name="mask_act")(h)
-        h = PointwiseConv(self.num_sources * basis, name="mask_conv")(h)
-        mask = nn.relu(h.reshape(B, self.num_sources, basis, -1))
-        masked = mask * s[:, None]
+        h = PointwiseConv(
+            self.num_sources * basis, channels_last=True, name="mask_conv"
+        )(h)
+        # [B, T', spk·basis] → [B, T', spk, basis]; channel order (spk major)
+        # matches the channels-first reshape (B, spk, basis, T')
+        mask = nn.relu(h.reshape(B, -1, self.num_sources, basis))
+        masked = mask * s[:, :, None, :]  # [B, T', spk, basis]
         dec = ConvTranspose1d(
-            self.num_sources, kernel_size=k, stride=stride, use_bias=False, name="decoder"
-        )(masked.reshape(B, self.num_sources * basis, -1))
+            self.num_sources,
+            kernel_size=k,
+            stride=stride,
+            use_bias=False,
+            channels_last=True,
+            name="decoder",
+        )(masked.reshape(B, -1, self.num_sources * basis))
         p = k // 2
         dec = dec[:, :, p : dec.shape[-1] - p]
         crop = k - stride

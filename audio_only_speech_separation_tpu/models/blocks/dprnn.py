@@ -29,13 +29,17 @@ class DepthwiseGate(nn.Module):
     """
 
     channels: int
+    channels_last: bool = False  # True: x is [B, *spatial, C]
 
     @nn.compact
-    def __call__(self, x):  # [B, C, *spatial]
+    def __call__(self, x):  # [B, C, *spatial] ([B, *spatial, C] if CL)
         w = self.param("weight", nn.initializers.ones, (self.channels,))
         b = self.param("bias", nn.initializers.zeros, (self.channels,))
-        shape = (1, self.channels) + (1,) * (x.ndim - 2)
-        y = x * w.reshape(shape) + b.reshape(shape)
+        if self.channels_last:
+            shape = (1,) * (x.ndim - 1) + (self.channels,)
+        else:
+            shape = (1, self.channels) + (1,) * (x.ndim - 2)
+        y = x * w.reshape(shape).astype(x.dtype) + b.reshape(shape).astype(x.dtype)
         return PReLU(name="act")(y)
 
 

@@ -20,6 +20,7 @@ class ConvNormAct(nn.Module):
     kernel: int
     stride: int = 1
     groups: int = 1
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -30,9 +31,12 @@ class ConvNormAct(nn.Module):
             stride=self.stride,
             padding=pad,
             groups=self.groups,
+            channels_last=self.channels_last,
             name="conv",
         )(x)
-        y = GlobalLayerNorm(self.out_channels, eps=1e-8, name="norm")(y)
+        y = GlobalLayerNorm(
+            self.out_channels, eps=1e-8, channels_last=self.channels_last, name="norm"
+        )(y)
         return PReLU(name="act")(y)
 
 
@@ -44,6 +48,7 @@ class ConvNorm(nn.Module):
     stride: int = 1
     groups: int = 1
     use_bias: bool = True
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -55,9 +60,12 @@ class ConvNorm(nn.Module):
             padding=pad,
             groups=self.groups,
             use_bias=self.use_bias,
+            channels_last=self.channels_last,
             name="conv",
         )(x)
-        return GlobalLayerNorm(self.out_channels, eps=1e-8, name="norm")(y)
+        return GlobalLayerNorm(
+            self.out_channels, eps=1e-8, channels_last=self.channels_last, name="norm"
+        )(y)
 
 
 class DilatedConvNorm(nn.Module):
@@ -66,6 +74,7 @@ class DilatedConvNorm(nn.Module):
     stride: int = 1
     groups: int = 1
     dilation: int = 1
+    channels_last: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -77,9 +86,12 @@ class DilatedConvNorm(nn.Module):
             padding=pad,
             dilation=self.dilation,
             groups=self.groups,
+            channels_last=self.channels_last,
             name="conv",
         )(x)
-        return GlobalLayerNorm(self.out_channels, eps=1e-8, name="norm")(y)
+        return GlobalLayerNorm(
+            self.out_channels, eps=1e-8, channels_last=self.channels_last, name="norm"
+        )(y)
 
 
 def upsample2_nearest(x):

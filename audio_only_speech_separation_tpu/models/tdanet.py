@@ -4,6 +4,12 @@ UConvBlock pyramid (stride-2 depthwise downsampling) → pooled multi-scale
 sum → GlobalAttention (MHA + conv-MLP) → sigmoid-gated InjectionMultiSum
 fusion back to each scale → weight-shared Recurrent iteration.
 
+TPU mapping: the full model executes channels-last ([B, T, C]) — 1×1 convs
+are MXU matmuls with minor contraction axes, depthwise convs are shifted
+elementwise multiplies, pooling is reshape-mean and nearest upsampling a
+broadcast repeat.  Parameter pytree matches the channels-first modules, so
+reference-weight import is unchanged.
+
 Reference quirks preserved exactly:
 - MultiHeadAttention adds dropout(output) to *output*, not the input
   (tdanet.py:247) — at eval this doubles the attention output;
@@ -36,23 +42,24 @@ class Mlp(nn.Module):
     drop: float = 0.1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        h = ConvNorm(self.hidden_size, 1, use_bias=False, name="fc1")(x)
+    def __call__(self, x, train: bool = False):  # [B, T, C]
+        h = ConvNorm(self.hidden_size, 1, use_bias=False, channels_last=True, name="fc1")(x)
         h = Conv1d(
             self.hidden_size,
             kernel_size=5,
             padding=2,
             groups=self.hidden_size,
+            channels_last=True,
             name="dwconv",
         )(h)
         h = nn.relu(h)
         h = nn.Dropout(self.drop, deterministic=not train)(h)
-        h = ConvNorm(self.in_features, 1, use_bias=False, name="fc2")(h)
+        h = ConvNorm(self.in_features, 1, use_bias=False, channels_last=True, name="fc2")(h)
         return nn.Dropout(self.drop, deterministic=not train)(h)
 
 
 class TDAAttention(nn.Module):
-    """Pos-enc + LayerNorm + MHA + post-norm on [B, C, T] (tdanet.py:232-248).
+    """Pos-enc + LayerNorm + MHA + post-norm on [B, T, C] (tdanet.py:232-248).
 
     Faithful to TWO reference quirks:
     1. the batch-first [B, T, C] tensor is fed to a seq-first torch MHA
@@ -67,9 +74,8 @@ class TDAAttention(nn.Module):
     dropout: float = 0.1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        h = jnp.swapaxes(x, 1, 2)  # [B, T, C]
-        h = nn.LayerNorm(name="attn_in_norm")(h)
+    def __call__(self, x, train: bool = False):  # [B, T, C]
+        h = nn.LayerNorm(name="attn_in_norm")(x)
         h = h + sinusoidal_positions(h.shape[1], self.channels, h.dtype)[None]
         # (batch=T, seq=B): reference's seq-first misuse, replicated
         hq = jnp.swapaxes(h, 0, 1)  # [T, B, C]
@@ -78,10 +84,9 @@ class TDAAttention(nn.Module):
         )(hq, train=train)
         out = jnp.swapaxes(out, 0, 1)  # [B, T, C]
         # residual is output + dropout(output) — identity-doubled at eval
-        out = nn.LayerNorm(name="norm")(
+        return nn.LayerNorm(name="norm")(
             out + nn.Dropout(self.dropout, deterministic=not train)(out)
         )
-        return jnp.swapaxes(out, 1, 2)
 
 
 class GlobalAttention(nn.Module):
@@ -92,7 +97,7 @@ class GlobalAttention(nn.Module):
     drop_path: float = 0.1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False):  # [B, T, C]
         dp = DropPath(self.drop_path, name="drop_path")
         x = x + dp(TDAAttention(self.out_chan, name="attn")(x, train=train), train)
         x = x + dp(Mlp(self.out_chan, self.out_chan * 2, name="mlp")(x, train=train), train)
@@ -100,7 +105,7 @@ class GlobalAttention(nn.Module):
 
 
 class InjectionMultiSum(nn.Module):
-    """Sigmoid-gated local/global fusion (tdanet.py:264-290)."""
+    """Sigmoid-gated local/global fusion (tdanet.py:264-290), on [B, T, C]."""
 
     inp: int
     oup: int
@@ -109,18 +114,21 @@ class InjectionMultiSum(nn.Module):
     @nn.compact
     def __call__(self, x_local, x_global):
         groups = self.inp if self.inp == self.oup else 1
-        T = x_local.shape[-1]
+        T = x_local.shape[1]
         local_feat = ConvNorm(
-            self.oup, self.kernel, groups=groups, use_bias=False, name="local_embedding"
+            self.oup, self.kernel, groups=groups, use_bias=False,
+            channels_last=True, name="local_embedding",
         )(x_local)
         g_act = ConvNorm(
-            self.oup, self.kernel, groups=groups, use_bias=False, name="global_act"
+            self.oup, self.kernel, groups=groups, use_bias=False,
+            channels_last=True, name="global_act",
         )(x_global)
-        sig = interpolate_nearest(nn.sigmoid(g_act), T)
+        sig = interpolate_nearest(nn.sigmoid(g_act), T, axis=1)
         g_feat = ConvNorm(
-            self.oup, self.kernel, groups=groups, use_bias=False, name="global_embedding"
+            self.oup, self.kernel, groups=groups, use_bias=False,
+            channels_last=True, name="global_embedding",
         )(x_global)
-        g_feat = interpolate_nearest(g_feat, T)
+        g_feat = interpolate_nearest(g_feat, T, axis=1)
         return local_feat * sig + g_feat
 
 
@@ -132,23 +140,25 @@ class TDAUConvBlock(nn.Module):
     upsampling_depth: int = 4
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False):  # [B, T, C]
         residual = x
-        y = ConvNormAct(self.in_channels, 1, name="proj_1x1")(x)
+        y = ConvNormAct(self.in_channels, 1, channels_last=True, name="proj_1x1")(x)
         pyramid = [
             DilatedConvNorm(
-                self.in_channels, 5, stride=1, groups=self.in_channels, name="spp_0"
+                self.in_channels, 5, stride=1, groups=self.in_channels,
+                channels_last=True, name="spp_0",
             )(y)
         ]
         for k in range(1, self.upsampling_depth):
             pyramid.append(
                 DilatedConvNorm(
-                    self.in_channels, 5, stride=2, groups=self.in_channels, name=f"spp_{k}"
+                    self.in_channels, 5, stride=2, groups=self.in_channels,
+                    channels_last=True, name=f"spp_{k}",
                 )(pyramid[-1])
             )
         # global: pooled sum of all scales at the deepest resolution
-        T_last = pyramid[-1].shape[-1]
-        global_f = sum(adaptive_avg_pool1d(f, T_last) for f in pyramid)
+        T_last = pyramid[-1].shape[1]
+        global_f = sum(adaptive_avg_pool1d(f, T_last, axis=1) for f in pyramid)
         global_f = GlobalAttention(
             self.in_channels * self.upsampling_depth, self.in_channels, name="globalatt"
         )(global_f, train=train)
@@ -166,7 +176,10 @@ class TDAUConvBlock(nn.Module):
             expanded = InjectionMultiSum(
                 self.in_channels, self.in_channels, 5, name=f"last_{i}"
             )(fused[i], other)
-        return PointwiseConv(self.out_channels, name="res_conv")(expanded) + residual
+        return (
+            PointwiseConv(self.out_channels, channels_last=True, name="res_conv")(expanded)
+            + residual
+        )
 
 
 class Recurrent(nn.Module):
@@ -179,13 +192,13 @@ class Recurrent(nn.Module):
     unfold: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False):  # [B, T, C]
         mixture = x
         if self.unfold:
             unet = TDAUConvBlock(
                 self.out_channels, self.in_channels, self.upsampling_depth, name="unet"
             )
-            gate = DepthwiseGate(self.out_channels, name="concat_block")
+            gate = DepthwiseGate(self.out_channels, channels_last=True, name="concat_block")
             for i in range(self.iters):
                 x = unet(x, train) if i == 0 else unet(gate(mixture + x), train)
         else:
@@ -199,7 +212,9 @@ class Recurrent(nn.Module):
                 if i == 0:
                     x = block(x, train)
                 else:
-                    g = DepthwiseGate(self.out_channels, name=f"concat_block_{i-1}")
+                    g = DepthwiseGate(
+                        self.out_channels, channels_last=True, name=f"concat_block_{i-1}"
+                    )
                     x = block(g(mixture + x), train)
         return x
 
@@ -232,18 +247,19 @@ class TDANet(BaseModel):
             wav = jnp.pad(wav, ((0, 0), (0, rest)))
         wav = jnp.pad(wav, ((0, 0), (k - stride, k - stride)))
 
-        # encoder conv(1→basis, k, stride, padding=k//2)
+        # encoder conv(1→basis, k, stride, padding=k//2): framed matmul
         enc = Conv1d(
             basis,
             kernel_size=k,
             stride=stride,
             padding=k // 2,
             use_bias=False,
+            channels_last=True,
             name="encoder",
-        )(wav[:, None, :])
+        )(wav[:, :, None])  # [B, T', basis]
         s = enc
-        h = GlobalLayerNorm(basis, eps=1e-8, name="ln")(enc)
-        h = PointwiseConv(self.out_channels, name="bottleneck")(h)
+        h = GlobalLayerNorm(basis, eps=1e-8, channels_last=True, name="ln")(enc)
+        h = PointwiseConv(self.out_channels, channels_last=True, name="bottleneck")(h)
         h = Recurrent(
             self.out_channels,
             self.in_channels,
@@ -253,14 +269,23 @@ class TDANet(BaseModel):
             name="sm",
         )(h, train=train)
         h = PReLU(name="mask_act")(h)
-        h = PointwiseConv(self.num_sources * basis, name="mask_conv")(h)
-        mask = nn.relu(h.reshape(B, self.num_sources, basis, -1))
-        masked = mask * s[:, None]
+        h = PointwiseConv(
+            self.num_sources * basis, channels_last=True, name="mask_conv"
+        )(h)
+        # [B, T', spk·basis] → [B, T', spk, basis] (spk-major channel order,
+        # same as the channels-first reshape (B, spk, basis, T'))
+        mask = nn.relu(h.reshape(B, -1, self.num_sources, basis))
+        masked = mask * s[:, :, None, :]  # [B, T', spk, basis]
 
-        # decoder ConvTranspose1d(basis*spk → spk, k, stride, padding=k//2)
+        # decoder ConvTranspose1d(basis·spk → spk, k, stride, padding=k//2)
         dec = ConvTranspose1d(
-            self.num_sources, kernel_size=k, stride=stride, use_bias=False, name="decoder"
-        )(masked.reshape(B, self.num_sources * basis, -1))
+            self.num_sources,
+            kernel_size=k,
+            stride=stride,
+            use_bias=False,
+            channels_last=True,
+            name="decoder",
+        )(masked.reshape(B, -1, self.num_sources * basis))
         p = k // 2
         dec = dec[:, :, p : dec.shape[-1] - p]
         crop = k - stride

@@ -115,6 +115,15 @@ class Conv1d(nn.Module):
     [receptive, in_per_group, out] convention internally, exposed only through
     this module.  ``padding`` is an int (zeros both sides), matching how the
     reference's TCN computes its own padding (reference tcn.py:6-37).
+
+    ``channels_last=True`` switches input/output to [B, T, C] and lowers the
+    conv as shifted slices instead of lax conv: depthwise becomes k fused
+    elementwise multiplies, dense becomes k MXU matmuls (or ONE matmul when
+    C_in == 1, the encoder-filterbank case).  On TPU this avoids both the
+    [B, C, T] relayout around every conv and XLA's slow grouped-conv
+    lowering, which is where TDANet/AFRCNN lost an order of magnitude.
+    The parameter pytree (names, shapes, layout) is IDENTICAL between the
+    two modes, so reference-weight import and checkpoints are unaffected.
     """
 
     out_channels: int
@@ -124,9 +133,22 @@ class Conv1d(nn.Module):
     dilation: int = 1
     groups: int = 1
     use_bias: bool = True
+    channels_last: bool = False
 
     @nn.compact
-    def __call__(self, x):  # [B, C, T]
+    def __call__(self, x):  # [B, C, T] (or [B, T, C] when channels_last)
+        if self.channels_last:
+            # child is named Conv_0 so the param pytree matches the lax path
+            return _ShiftedConv(
+                self.out_channels,
+                self.kernel_size,
+                self.stride,
+                self.padding,
+                self.dilation,
+                self.groups,
+                self.use_bias,
+                name="Conv_0",
+            )(x)
         y = jnp.swapaxes(x, 1, 2)  # [B, T, C]
         y = nn.Conv(
             features=self.out_channels,
@@ -138,6 +160,80 @@ class Conv1d(nn.Module):
             use_bias=self.use_bias,
         )(y)
         return jnp.swapaxes(y, 1, 2)
+
+
+class _ShiftedConv(nn.Module):
+    """Channels-last conv on [B, T, C] lowered as shifted strided slices.
+
+    Same kernel layout/init as flax nn.Conv ([k, in_per_group, out]), so it
+    is parameter-interchangeable with the lax-conv path in Conv1d.
+    """
+
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # [B, T, C] → [B, T_out, out]
+        B, T, C = x.shape
+        k, s, d, p = self.kernel_size, self.stride, self.dilation, self.padding
+        in_pg = C // self.groups
+        w = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (k, in_pg, self.out_channels),
+        ).astype(x.dtype)
+        T_out = (T + 2 * p - d * (k - 1) - 1) // s + 1
+        xp = jnp.pad(x, ((0, 0), (p, p), (0, 0))) if p else x
+
+        def tap(j):  # j-th kernel tap as a strided [B, T_out, C] slice
+            start = j * d
+            return jax.lax.slice(
+                xp, (0, start, 0), (B, start + (T_out - 1) * s + 1, C), (1, s, 1)
+            )
+
+        if self.groups == C and self.out_channels == C:
+            # depthwise: k shifted per-channel multiplies (pure elementwise,
+            # fuses with neighboring ops instead of XLA's grouped conv)
+            y = tap(0) * w[0, 0]
+            for j in range(1, k):
+                y = y + tap(j) * w[j, 0]
+        elif C == 1:
+            # single-channel input (learned filterbank): one framed matmul
+            frames = jnp.concatenate([tap(j) for j in range(k)], axis=-1)
+            y = jnp.einsum(
+                "btk,ko->bto", frames, w[:, 0, :],
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+        elif self.groups == 1:
+            y = None
+            for j in range(k):
+                yj = jnp.einsum(
+                    "btc,co->bto", tap(j), w[j],
+                    preferred_element_type=jnp.float32,
+                )
+                y = yj if y is None else y + yj
+            y = y.astype(x.dtype)
+        else:
+            G = self.groups
+            opg = self.out_channels // G
+            y = None
+            for j in range(k):
+                sl = tap(j).reshape(B, T_out, G, in_pg)
+                yj = jnp.einsum(
+                    "btgc,cgo->btgo", sl, w[j].reshape(in_pg, G, opg),
+                    preferred_element_type=jnp.float32,
+                )
+                y = yj if y is None else y + yj
+            y = y.reshape(B, T_out, self.out_channels).astype(x.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            y = y + b.astype(y.dtype)
+        return y
 
 
 class ConvTranspose1d(nn.Module):
@@ -155,17 +251,22 @@ class ConvTranspose1d(nn.Module):
     kernel_size: int
     stride: int = 1
     use_bias: bool = True
+    channels_last: bool = False
 
     @nn.compact
-    def __call__(self, x):  # [B, C, T]
-        B, C, T = x.shape
+    def __call__(self, x):  # [B, C, T] ([B, T, C] when channels_last)
+        if self.channels_last:
+            B, T, C = x.shape
+        else:
+            B, C, T = x.shape
         w = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (C, self.out_channels, self.kernel_size),
         )
+        eq = "btc,cok->botk" if self.channels_last else "bct,cok->botk"
         frames = jnp.einsum(
-            "bct,cok->botk", x, w.astype(x.dtype), preferred_element_type=jnp.float32
+            eq, x, w.astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)  # [B, out, T, k]
         out = overlap_add(
             frames.reshape(B * self.out_channels, T, self.kernel_size), self.stride
@@ -177,22 +278,29 @@ class ConvTranspose1d(nn.Module):
 
 
 class PointwiseConv(nn.Module):
-    """1×1 conv on [B, C, T] — a channel matmul, straight to the MXU."""
+    """1×1 conv on [B, C, T] — a channel matmul, straight to the MXU.
+
+    ``channels_last=True`` takes/returns [B, T, C]: the contraction axis is
+    then minor in both operands, which is the MXU-native layout (no relayout
+    inserted by XLA).  Param pytree is identical in both modes.
+    """
 
     out_channels: int
     use_bias: bool = True
+    channels_last: bool = False
 
     @nn.compact
-    def __call__(self, x):  # [B, C, T]
+    def __call__(self, x):  # [B, C, T] ([B, T, C] when channels_last)
         w = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (x.shape[1], self.out_channels),
+            (x.shape[-1 if self.channels_last else 1], self.out_channels),
         )
+        eq = "btc,cd->btd" if self.channels_last else "bct,cd->bdt"
         y = jnp.einsum(
-            "bct,cd->bdt", x, w.astype(x.dtype), preferred_element_type=jnp.float32
+            eq, x, w.astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
-            y = y + b[None, :, None]
+            y = y + (b if self.channels_last else b[None, :, None]).astype(y.dtype)
         return y

@@ -35,16 +35,22 @@ class GlobalLayerNorm(nn.Module):
 
     channels: int
     eps: float = 1e-8
+    channels_last: bool = False  # True: x is [B, *spatial, C]
 
     @nn.compact
-    def __call__(self, x):  # x: [B, C, T] (or [B, C, *spatial])
+    def __call__(self, x):  # x: [B, C, *spatial] ([B, *spatial, C] if CL)
         axes = tuple(range(1, x.ndim))
         mean, var = _moments(x, axes)
         y = ((x.astype(jnp.float32) - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
-        shape = (1, self.channels) + (1,) * (x.ndim - 2)
+        if self.channels_last:
+            shape = (1,) * (x.ndim - 1) + (self.channels,)
+        else:
+            shape = (1, self.channels) + (1,) * (x.ndim - 2)
         gamma = self.param("gamma", nn.initializers.ones, (self.channels,))
         beta = self.param("beta", nn.initializers.zeros, (self.channels,))
-        return y * gamma.reshape(shape) + beta.reshape(shape)
+        return y * gamma.reshape(shape).astype(y.dtype) + beta.reshape(shape).astype(
+            y.dtype
+        )
 
 
 class FrameLayerNorm(nn.Module):

@@ -17,14 +17,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def interpolate_nearest(x: jnp.ndarray, size: int) -> jnp.ndarray:
-    """x: [..., T] → [..., size], torch 'nearest' (floor index map)."""
-    T = x.shape[-1]
+def interpolate_nearest(x: jnp.ndarray, size: int, axis: int = -1) -> jnp.ndarray:
+    """torch 'nearest' (floor index map) along ``axis``.
+
+    Integer upsampling ratios lower to a broadcast+reshape repeat instead of
+    a gather — gathers on large TPU feature maps are far off roofline.
+    """
+    T = x.shape[axis]
     if size == T:
         return x
+    if size % T == 0:
+        # floor(j·T/size) == j // (size//T): exact element repeat
+        return jnp.repeat(x, size // T, axis=axis)
     idx = np.floor(np.arange(size) * (T / size)).astype(np.int32)
     idx = np.minimum(idx, T - 1)
-    return jnp.take(x, jnp.asarray(idx), axis=-1)
+    return jnp.take(x, jnp.asarray(idx), axis=axis)
 
 
 @lru_cache(maxsize=64)
@@ -41,13 +48,26 @@ def _adaptive_pool_matrix(in_size: int, out_size: int) -> np.ndarray:
     return m
 
 
-def adaptive_avg_pool1d(x: jnp.ndarray, output_size: int) -> jnp.ndarray:
-    """x: [..., T] → [..., output_size] via a static pooling matmul."""
-    T = x.shape[-1]
+def adaptive_avg_pool1d(
+    x: jnp.ndarray, output_size: int, axis: int = -1
+) -> jnp.ndarray:
+    """torch adaptive_avg_pool1d along ``axis``.
+
+    Exact integer downsampling ratios lower to a reshape+mean (one fused
+    pass); the general case is a static pooling matmul.
+    """
+    T = x.shape[axis]
     if output_size == T:
         return x
-    m = jnp.asarray(_adaptive_pool_matrix(T, output_size))
-    return jnp.einsum("...t,to->...o", x, m)
+    ax = axis % x.ndim
+    if T % output_size == 0:
+        r = T // output_size
+        shape = x.shape[:ax] + (output_size, r) + x.shape[ax + 1 :]
+        return x.reshape(shape).mean(axis=ax + 1)
+    m = jnp.asarray(_adaptive_pool_matrix(T, output_size), x.dtype)
+    moved = jnp.moveaxis(x, ax, -1)
+    out = jnp.einsum("...t,to->...o", moved, m)
+    return jnp.moveaxis(out, -1, ax)
 
 
 def avg_pool1d(x: jnp.ndarray, kernel: int, stride: int | None = None) -> jnp.ndarray:

@@ -1,0 +1,113 @@
+"""Channels-last conv/norm paths are parameter-interchangeable with the
+lax-conv channels-first paths and numerically equivalent.
+
+The TDANet/AFRCNN TPU mapping runs the whole model on [B, T, C] (see
+models/afrcnn.py header); these tests pin the invariant that makes that
+safe: identical param pytrees and matching outputs for every lowering case
+(depthwise, single-channel input, dense, grouped).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_only_speech_separation_tpu.ops.conv import Conv1d, PointwiseConv
+from audio_only_speech_separation_tpu.ops.norms import GlobalLayerNorm
+from audio_only_speech_separation_tpu.ops.resample import (
+    adaptive_avg_pool1d,
+    interpolate_nearest,
+)
+
+
+def _tree_shapes(tree):
+    return jax.tree_util.tree_map(lambda a: a.shape, tree)
+
+
+@pytest.mark.parametrize(
+    "cin,cout,k,stride,dilation,groups",
+    [
+        (16, 16, 5, 1, 1, 16),  # depthwise
+        (16, 16, 5, 2, 1, 16),  # depthwise strided
+        (16, 16, 5, 1, 2, 16),  # depthwise dilated
+        (1, 24, 8, 4, 1, 1),    # single-channel encoder filterbank
+        (12, 20, 3, 1, 1, 1),   # dense
+        (12, 20, 3, 2, 1, 4),   # grouped
+    ],
+)
+def test_conv1d_channels_last_matches_lax(cin, cout, k, stride, dilation, groups):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, cin, 57)).astype(np.float32))
+    pad = ((k - 1) // 2) * dilation
+    cf = Conv1d(cout, k, stride=stride, padding=pad, dilation=dilation, groups=groups)
+    cl = Conv1d(
+        cout, k, stride=stride, padding=pad, dilation=dilation, groups=groups,
+        channels_last=True,
+    )
+    p = cf.init(jax.random.PRNGKey(1), x)
+    p_cl = cl.init(jax.random.PRNGKey(1), jnp.swapaxes(x, 1, 2))
+    assert _tree_shapes(p) == _tree_shapes(p_cl)
+
+    y_cf = cf.apply(p, x)
+    y_cl = cl.apply(p, jnp.swapaxes(x, 1, 2))  # same params, CL path
+    np.testing.assert_allclose(
+        np.asarray(y_cf), np.asarray(jnp.swapaxes(y_cl, 1, 2)), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_pointwise_channels_last_matches():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(3, 24, 40)).astype(np.float32))
+    cf = PointwiseConv(16)
+    cl = PointwiseConv(16, channels_last=True)
+    p = cf.init(jax.random.PRNGKey(1), x)
+    p_cl = cl.init(jax.random.PRNGKey(1), jnp.swapaxes(x, 1, 2))
+    assert _tree_shapes(p) == _tree_shapes(p_cl)
+    y_cf = cf.apply(p, x)
+    y_cl = cl.apply(p, jnp.swapaxes(x, 1, 2))
+    np.testing.assert_allclose(
+        np.asarray(y_cf), np.asarray(jnp.swapaxes(y_cl, 1, 2)), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_gln_channels_last_matches():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(3, 24, 40)).astype(np.float32))
+    cf = GlobalLayerNorm(24, eps=1e-8)
+    cl = GlobalLayerNorm(24, eps=1e-8, channels_last=True)
+    p = cf.init(jax.random.PRNGKey(1), x)
+    y_cf = cf.apply(p, x)
+    y_cl = cl.apply(p, jnp.swapaxes(x, 1, 2))
+    np.testing.assert_allclose(
+        np.asarray(y_cf), np.asarray(jnp.swapaxes(y_cl, 1, 2)), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_interpolate_nearest_repeat_fast_path():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 25)).astype(np.float32))
+    # integer ratio: repeat fast path must equal the gather formula
+    idx = np.minimum(np.floor(np.arange(100) * (25 / 100)).astype(np.int32), 24)
+    expected = np.asarray(x)[:, :, idx]
+    np.testing.assert_array_equal(np.asarray(interpolate_nearest(x, 100)), expected)
+    # axis variant
+    xt = jnp.swapaxes(x, 1, 2)
+    got = interpolate_nearest(xt, 100, axis=1)
+    np.testing.assert_array_equal(np.asarray(jnp.swapaxes(got, 1, 2)), expected)
+
+
+def test_adaptive_pool_reshape_fast_path():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 48)).astype(np.float32))
+    # 48 → 12: exact ratio; torch windows are contiguous size-4 blocks
+    expected = np.asarray(x).reshape(2, 8, 12, 4).mean(-1)
+    np.testing.assert_allclose(
+        np.asarray(adaptive_avg_pool1d(x, 12)), expected, atol=1e-6
+    )
+    got = adaptive_avg_pool1d(jnp.swapaxes(x, 1, 2), 12, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(got, 1, 2)), expected, atol=1e-6
+    )
+    # non-integer ratio falls back to the pooling-matrix path
+    y = adaptive_avg_pool1d(x, 7)
+    assert y.shape == (2, 8, 7)
