@@ -18,8 +18,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.activations import PReLU
-from ..ops.conv import PointwiseConv
 from ..ops.norms import GlobalLayerNorm
 from ..ops.rnn import BiLSTM, LSTM
 from ..ops.stft import hann_window, istft, stft
@@ -110,6 +108,44 @@ class BSNet(nn.Module):
         return h.reshape(B, self.nband * N, T)
 
 
+class _PWParams(nn.Module):
+    """Declares PointwiseConv-compatible params without applying them —
+    used to keep per-band param pytrees while computing band-batched."""
+
+    in_ch: int
+    out_ch: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_ch, self.out_ch)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.out_ch,))
+        return k, b
+
+
+class _GLNParams(nn.Module):
+    """GlobalLayerNorm-compatible param declaration."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        g = self.param("gamma", nn.initializers.ones, (self.channels,))
+        b = self.param("beta", nn.initializers.zeros, (self.channels,))
+        return g, b
+
+
+class _PReLUParams(nn.Module):
+    """PReLU-compatible param declaration (scalar slope, init 0.25)."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "alpha", lambda key, shape: jnp.full(shape, 0.25, jnp.float32), (1,)
+        )
+
+
 @register_model
 class BSRNN(BaseModel):
     win: int = 256
@@ -140,10 +176,13 @@ class BSRNN(BaseModel):
         ratio = self.context * 2 + 1
         band_width = compute_band_widths(self.sample_rate, enc_dim)
         nband = len(band_width)
+        bw_max = max(band_width)
+        N = self.feature_dim
         window = hann_window(self.win, x.dtype)
 
         spec = stft(x, self.win, self.stride, window)  # [B, F, T] complex
         T = spec.shape[-1]
+        B = Bsz * nch
 
         # context stack [B, K, F, T] (K = ratio)
         if self.context > 0:
@@ -159,19 +198,74 @@ class BSRNN(BaseModel):
 
         spec_ri = jnp.stack([spec.real, spec.imag], axis=1)  # [B, 2, F, T]
 
-        # per-band bottleneck
-        feats = []
-        sub_ctx = []
+        # ---- band-batched bottleneck --------------------------------------
+        # The reference runs nband tiny per-band norms+convs in a Python loop
+        # (bsrnn.py:126-130,199-202); here bands are zero-padded to bw_max
+        # and stacked so the whole bottleneck is ONE masked norm + ONE einsum
+        # on the MXU.  Per-band params keep their own pytree entries (same
+        # names/shapes as a per-band loop), padded/stacked at trace time.
+        subs, ctxs = [], []
         idx = 0
         for i, bwi in enumerate(band_width):
-            sub = spec_ri[:, :, idx : idx + bwi]  # [B, 2, bw, T]
-            sub_ctx.append(mixture_context[:, :, idx : idx + bwi])  # [B, K, bw, T]
-            flat = sub.reshape(Bsz * nch, bwi * 2, T)
-            h = GlobalLayerNorm(bwi * 2, eps=_F32_EPS, name=f"bn_norm_{i}")(flat)
-            h = PointwiseConv(self.feature_dim, name=f"bn_conv_{i}")(h)
-            feats.append(h)
+            pad_f = bw_max - bwi
+            subs.append(
+                jnp.pad(spec_ri[:, :, idx : idx + bwi], ((0, 0), (0, 0), (0, pad_f), (0, 0)))
+            )
+            ctxs.append(
+                jnp.pad(
+                    mixture_context[:, :, idx : idx + bwi],
+                    ((0, 0), (0, 0), (0, pad_f), (0, 0)),
+                )
+            )
             idx += bwi
-        sep = jnp.concatenate(feats, axis=1)  # [B, nband*N, T]
+        sub_stack = jnp.stack(subs, axis=1)  # [B, nband, 2, bw_max, T]
+        ctx_stack = jnp.stack(ctxs, axis=1)  # [B, nband, K, bw_max, T] complex
+        # the STFT forces f32; the separator body follows the INPUT dtype
+        # policy (bf16 scans are ~4× faster than f32 on v5e — the mask is
+        # applied to the f32 spectrogram below, so only the mask itself is
+        # computed at reduced precision)
+        flat = sub_stack.reshape(B, nband, 2 * bw_max, T).astype(in_dtype)
+
+        # per-band params, padded into stacked tensors ((2, bwi) → (2, bw_max)
+        # row layout matches the reference's reshape(B, 2*bwi, T))
+        def _pad_rows(p, bwi):  # [2*bwi, ...] → [2*bw_max, ...]
+            p = p.reshape((2, bwi) + p.shape[1:])
+            p = jnp.pad(p, ((0, 0), (0, bw_max - bwi)) + ((0, 0),) * (p.ndim - 2))
+            return p.reshape((2 * bw_max,) + p.shape[2:])
+
+        gammas, betas, kerns, biases = [], [], [], []
+        for i, bwi in enumerate(band_width):
+            g, b = _GLNParams(bwi * 2, name=f"bn_norm_{i}")()
+            k, kb = _PWParams(bwi * 2, N, name=f"bn_conv_{i}")()
+            gammas.append(_pad_rows(g, bwi))
+            betas.append(_pad_rows(b, bwi))
+            kerns.append(_pad_rows(k, bwi))
+            biases.append(kb)
+        gamma = jnp.stack(gammas)  # [nband, 2*bw_max]
+        beta = jnp.stack(betas)
+        kern = jnp.stack(kerns)  # [nband, 2*bw_max, N]
+        bias = jnp.stack(biases)  # [nband, N]
+
+        # masked gLN stats: padded entries are zero, so sums are exact;
+        # divide by the true per-band element count
+        cnt = jnp.asarray(
+            np.asarray(band_width, np.float32) * 2 * T, jnp.float32
+        )  # [nband]
+        f32 = flat.astype(jnp.float32)
+        s1 = jnp.sum(f32, axis=(2, 3))  # [B, nband]
+        s2 = jnp.sum(jnp.square(f32), axis=(2, 3))
+        mean = s1 / cnt
+        var = jnp.maximum(s2 / cnt - jnp.square(mean), 0.0)
+        norm = (f32 - mean[..., None, None]) / jnp.sqrt(var + _F32_EPS)[..., None, None]
+        norm = norm.astype(flat.dtype)
+        # padded gamma rows are zero ⇒ padded rows of h are exactly zero
+        h = norm * gamma[None, :, :, None].astype(flat.dtype)
+        h = h + beta[None, :, :, None].astype(flat.dtype)
+        sep = jnp.einsum(
+            "bkct,kcn->bknt", h, kern.astype(h.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype) + bias[None, :, :, None].astype(h.dtype)
+        sep = sep.reshape(B, nband * N, T)
 
         for r in range(self.num_repeat):
             sep = BSNet(
@@ -182,27 +276,82 @@ class BSRNN(BaseModel):
                 dropout=self.dropout,
                 name=f"separator_{r}",
             )(sep, train)
-        sep = sep.reshape(Bsz * nch, nband, self.feature_dim, T)
+        sep = sep.reshape(B, nband, N, T)
 
-        # per-band gated complex masks
+        # ---- band-batched gated complex mask heads ------------------------
+        # Reference: 4 tiny convs per band in a loop (bsrnn.py:176-196).
+        # c1/c2 are width-uniform → plain stacked einsums; c3/c4 pad the
+        # ragged band dims, with c4's columns scattered into the padded
+        # (2, 2, spk, ratio, bw_max) layout so the complex-mask math below
+        # stays fully batched.  Padded positions come out exactly zero.
+        spk = self.num_spks
+        d3s = [bwi * ratio * 4 for bwi in band_width]
+        d3max = bw_max * ratio * 4
+        d4max = 2 * 2 * spk * ratio * bw_max
+        mg, mb, k1s, b1s, k2s, b2s, k3s, b3s, a3s, k4s, b4s = (
+            [], [], [], [], [], [], [], [], [], [], [],
+        )
+        for i, bwi in enumerate(band_width):
+            g, b = _GLNParams(N, name=f"mask_norm_{i}")()
+            mg.append(g)
+            mb.append(b)
+            k1, b1 = _PWParams(N, N * 4, name=f"mask_c1_{i}")()
+            k1s.append(k1)
+            b1s.append(b1)
+            k2, b2 = _PWParams(N * 4, N * 4, name=f"mask_c2_{i}")()
+            k2s.append(k2)
+            b2s.append(b2)
+            k3, b3 = _PWParams(N * 4, d3s[i], name=f"mask_c3_{i}")()
+            k3s.append(jnp.pad(k3, ((0, 0), (0, d3max - d3s[i]))))
+            b3s.append(jnp.pad(b3, ((0, d3max - d3s[i]),)))
+            a3s.append(_PReLUParams(name=f"mask_act_{i}")()[0])
+            k4, b4 = _PWParams(d3s[i], 2 * 2 * spk * ratio * bwi, name=f"mask_c4_{i}")()
+            # scatter the true (2,2,spk,ratio,bwi) output layout into the
+            # padded (2,2,spk,ratio,bw_max) layout; zero padded rows/cols
+            k4 = k4.reshape(d3s[i], 2, 2, spk, ratio, bwi)
+            k4 = jnp.pad(
+                k4,
+                ((0, d3max - d3s[i]), (0, 0), (0, 0), (0, 0), (0, 0), (0, bw_max - bwi)),
+            ).reshape(d3max, d4max)
+            k4s.append(k4)
+            b4 = b4.reshape(2, 2, spk, ratio, bwi)
+            b4 = jnp.pad(
+                b4, ((0, 0), (0, 0), (0, 0), (0, 0), (0, bw_max - bwi))
+            ).reshape(d4max)
+            b4s.append(b4)
+
+        hm = sep.astype(jnp.float32)
+        mean = jnp.mean(hm, axis=(2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(hm - mean), axis=(2, 3), keepdims=True)
+        hm = ((hm - mean) / jnp.sqrt(var + _F32_EPS)).astype(sep.dtype)
+        hm = hm * jnp.stack(mg)[None, :, :, None].astype(hm.dtype)
+        hm = hm + jnp.stack(mb)[None, :, :, None].astype(hm.dtype)
+
+        def _bconv(h, ks, bs):  # [B,k,c,T] × [k,c,d] → [B,k,d,T]
+            y = jnp.einsum(
+                "bkct,kcd->bkdt", h, jnp.stack(ks).astype(h.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(h.dtype)
+            return y + jnp.stack(bs)[None, :, :, None].astype(h.dtype)
+
+        hm = jnp.tanh(_bconv(hm, k1s, b1s))
+        hm = jnp.tanh(_bconv(hm, k2s, b2s))
+        h3 = _bconv(hm, k3s, b3s)
+        alpha = jnp.stack(a3s)[None, :, None, None].astype(h3.dtype)  # [1,k,1,1]
+        h3 = jnp.where(h3 >= 0, h3, alpha * h3)
+        h4 = _bconv(h3, k4s, b4s)  # [B, nband, d4max, T]
+        h4 = h4.reshape(B, nband, 2, 2, spk, ratio, bw_max, T)
+        mask = h4[:, :, 0] * jax.nn.sigmoid(h4[:, :, 1])
+        m_re, m_im = mask[:, :, 0], mask[:, :, 1]  # [B, nband, spk, K, bw_max, T]
+        ctx_re = ctx_stack.real[:, :, None]  # [B, nband, 1, K, bw_max, T]
+        ctx_im = ctx_stack.imag[:, :, None]
+        est_re = jnp.mean(ctx_re * m_re, axis=3) - jnp.mean(ctx_im * m_im, axis=3)
+        est_im = jnp.mean(ctx_re * m_im, axis=3) + jnp.mean(ctx_im * m_re, axis=3)
+        est = est_re + 1j * est_im  # [B, nband, spk, bw_max, T]
+
         est_bands = []
         for i, bwi in enumerate(band_width):
-            h = sep[:, i]  # [B, N, T]
-            h = GlobalLayerNorm(self.feature_dim, eps=_F32_EPS, name=f"mask_norm_{i}")(h)
-            h = jnp.tanh(PointwiseConv(self.feature_dim * 4, name=f"mask_c1_{i}")(h))
-            h = jnp.tanh(PointwiseConv(self.feature_dim * 4, name=f"mask_c2_{i}")(h))
-            h = PReLU(name=f"mask_act_{i}")(
-                PointwiseConv(bwi * ratio * 4, name=f"mask_c3_{i}")(h)
-            )
-            h = PointwiseConv(self.num_spks * bwi * ratio * 4, name=f"mask_c4_{i}")(h)
-            h = h.reshape(Bsz * nch, 2, 2, self.num_spks, ratio, bwi, T)
-            mask = h[:, 0] * jax.nn.sigmoid(h[:, 1])  # [B, 2, spk, K, bw, T]
-            m_re, m_im = mask[:, 0], mask[:, 1]  # [B, spk, K, bw, T]
-            ctx_re = sub_ctx[i].real[:, None]  # [B, 1, K, bw, T]
-            ctx_im = sub_ctx[i].imag[:, None]
-            est_re = jnp.mean(ctx_re * m_re, axis=2) - jnp.mean(ctx_im * m_im, axis=2)
-            est_im = jnp.mean(ctx_re * m_im, axis=2) + jnp.mean(ctx_im * m_re, axis=2)
-            est_bands.append(est_re + 1j * est_im)  # [B, spk, bw, T]
+            est_bands.append(est[:, i, :, :bwi])
         est_spec = jnp.concatenate(est_bands, axis=2)  # [B, spk, F, T]
 
         out = istft(

@@ -141,7 +141,13 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
         pack_convtasnet_tcn_params,
     )
 
-    if not (model.B == 128 and model.H == 512 and model.P == 3 and not model.causal):
+    if not (
+        model.B == 128
+        and model.H == 512
+        and model.P == 3
+        and not model.causal
+        and model.activate in ("relu", "sigmoid")
+    ):
         return model.apply(params, wav)
     if packed is None:
         packed = pack_convtasnet_tcn_params(params, model.R, model.X)
@@ -151,6 +157,8 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
     pb = jax.tree_util.tree_map(
         lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, p
     )
+
+    from ..ops.conv import frame_signal, overlap_add
 
     x, was_one_d = normalize_input(wav)
     x = x.astype(jnp.bfloat16)
@@ -162,23 +170,32 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
         x = jnp.pad(x, ((0, 0), (0, rest)))
     x = jnp.pad(x, ((0, 0), (win - pad_stride, win - pad_stride)))
 
-    enc = ConvEncoder(model.N, win, fb_stride, name="encoder").apply(
-        {"params": pb["encoder"]}, x
+    # the whole XLA section runs channels-last, feeding the kernel's
+    # [B, T', 128] layout directly — no relayout anywhere
+    frames = frame_signal(x, win, fb_stride)  # [B, T', win]
+    enc = jnp.einsum(
+        "bnw,wc->bnc", frames, pb["encoder"]["kernel"],
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)  # [B, T', N]
+    times = enc.shape[1]
+    w = GlobalLayerNorm(model.N, channels_last=True).apply(
+        {"params": pb["bn_norm"]}, enc
     )
-    times = enc.shape[-1]
-    w = GlobalLayerNorm(model.N).apply({"params": pb["bn_norm"]}, enc)
-    w = PointwiseConv(model.B).apply({"params": pb["bn_conv"]}, w)
-
-    # fused TCN: channels-last in/out
-    w = jnp.swapaxes(w, 1, 2)  # [B, T', 128]
+    w = PointwiseConv(model.B, channels_last=True).apply({"params": pb["bn_conv"]}, w)
     w = fused_tcn_separator(w, w1s, wss, vecs, wsbs, alphas, dils)
-    w = jnp.swapaxes(w, 1, 2)
 
-    m = PointwiseConv(model.N * model.num_spks).apply({"params": pb["mask_conv"]}, w)
+    m = PointwiseConv(model.N * model.num_spks, channels_last=True).apply(
+        {"params": pb["mask_conv"]}, w
+    )  # [B, T', spk·N]
     m = nn.relu(m) if model.activate == "relu" else jax.nn.sigmoid(m)
-    d = enc[:, None] * m.reshape(Bsz, model.num_spks, model.N, times)
-    s = ConvDecoder(model.N, win, fb_stride, name="decoder").apply(
-        {"params": pb["decoder"]}, d.reshape(Bsz * model.num_spks, model.N, times)
+    d = enc[:, :, None, :] * m.reshape(Bsz, times, model.num_spks, model.N)
+    # decoder synthesis filterbank on channels-last masked features
+    dec_frames = jnp.einsum(
+        "btsc,cw->bstw", d, pb["decoder"]["kernel"].astype(d.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(d.dtype)  # [B, spk, T', win]
+    s = overlap_add(
+        dec_frames.reshape(Bsz * model.num_spks, times, win), fb_stride
     )
     s = s[:, win - pad_stride : s.shape[-1] - (rest + win - pad_stride)]
     out = s.reshape(Bsz, model.num_spks, -1)

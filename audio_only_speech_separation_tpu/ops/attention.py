@@ -16,6 +16,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .pallas.attention import attention_eligible, fused_attention_bdt
+
+
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-compatible params (kernel [in, out], bias [out])
+    without applying them — lets the fused-attention path fold the output
+    projection into an einsum while keeping the same param pytree."""
+
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.out_features),
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.out_features,))
+            if self.use_bias
+            else None
+        )
+        return k, b
+
 
 class MultiheadAttention(nn.Module):
     """Self/cross attention on [B, T, E] with torch parameter layout.
@@ -60,6 +86,44 @@ class MultiheadAttention(nn.Module):
             bq, bk, bv = jnp.split(b_in, 3)
         else:
             bq = bk = bv = None
+        w_out, b_out = _DenseParams(E, E, self.use_bias, name="out_proj")()
+
+        # fused VMEM-resident kernel for short self-attention: the einsum
+        # path materializes f32 [B,h,T,T] logits through HBM, which
+        # dominates dual-path transformer wall time (ops/pallas/attention).
+        # The [B*h, dh, T] kernel layout is folded into the projection
+        # einsums, so no transpose is materialized.
+        use_kernel = (
+            mask is None
+            and not (train and self.dropout > 0.0)
+            and query is key
+            and key is value
+            and attention_eligible(query.shape[1], dh)
+        )
+        if use_kernel:
+            B, T, _ = query.shape
+
+            def proj_t(x, w, b):  # → [B*h, dh, T], head-major features
+                y = jnp.einsum(
+                    "bte,fe->bft", x, w.astype(x.dtype),
+                    preferred_element_type=jnp.float32,
+                ).astype(x.dtype)
+                if b is not None:
+                    y = y + b.astype(y.dtype)[None, :, None]
+                return y.reshape(B * h, dh, T)
+
+            o = fused_attention_bdt(
+                proj_t(query, wq, bq), proj_t(key, wk, bk), proj_t(value, wv, bv)
+            ).reshape(B, h, dh, T)
+            # output projection folded over the [h, dh] layout
+            out = jnp.einsum(
+                "bdt,df->btf", o.reshape(B, E, T), w_out.astype(o.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(o.dtype)
+            if b_out is not None:
+                out = out + b_out.astype(out.dtype)
+            return out
+
         q = proj(query, wq, bq).reshape(*query.shape[:2], h, dh)
         k = proj(key, wk, bk).reshape(*key.shape[:2], h, dh)
         v = proj(value, wv, bv).reshape(*value.shape[:2], h, dh)
@@ -75,7 +139,12 @@ class MultiheadAttention(nn.Module):
             attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v, preferred_element_type=v.dtype)
         out = out.reshape(*query.shape[:2], E)
-        out = nn.Dense(E, use_bias=self.use_bias, name="out_proj")(out)
+        out = jnp.einsum(
+            "bte,ef->btf", out, w_out.astype(out.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(out.dtype)
+        if b_out is not None:
+            out = out + b_out.astype(out.dtype)
         return out
 
 

@@ -14,9 +14,14 @@ Per grid step (= one batch sample), per block:
   --  gLN-1 is an affine per-channel map given the stats; it is FOLDED into
       the depthwise weights (dw'ₖ = dwₖ·scale, bias' folds the shift), so
       no normalization pass over h is needed
-  P2  stats of PReLU(dw'(h))      3 shifted reads per tile, Σ, Σ²
-  P3  y += (PReLU(dw'(h))·scale2 + shift2) @ Ws + bs   (recompute dw',
-      normalize with gLN-2 stats, sconv back to 128, residual into y)
+  P2  h ← PReLU(dw'(h)) in place  3 shifted reads per tile, Σ, Σ² for gLN-2
+  P3  y += h @ (scale2⊙Ws) + bs'  gLN-2 is ALSO folded — into the sconv
+      weights (per-block [512,128] rescale + bias fold), so P3 is a pure
+      matmul + residual accumulate
+
+The kernel is VPU-bound, not MXU-bound, so boundary work is peeled: row
+masking (rows ≥ T) and the padding corrections only run in the statically
+known edge tiles; hot tiles carry no iota/select work.
 
 Mosaic requires dynamically indexed VMEM loads to be tile-aligned, so the
 dilated depthwise conv loads the aligned mid tile plus two aligned 128-row
@@ -41,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 PAD = 128  # halo ≥ max dilation (2^7 for X=8); also the alignment quantum
-TILE = 1024
+TILE = 2048
 
 # vecs packing rows (f32 [nb, 16, 512]):
 _B1, _DWB, _G1, _BT1, _G2, _BT2, _DW0, _DW1, _DW2 = range(9)
@@ -108,26 +113,39 @@ def _kernel(
         a2 = a_ref[b, 1]
 
         # ---- P1: h = prelu(y @ W1 + b1); accumulate gLN-1 stats -----------
-        def p1_body(i, carry):
-            s, q = carry
+        # Row masking (zeroing rows ≥ T) is only live in the LAST tile —
+        # the boundary tile is peeled so the hot middle tiles run maskless
+        # (the kernel is VPU-bound; every elementwise op on a [TILE, 512]
+        # tile costs real time).
+        b1v = vec_ref[_B1, :]
+
+        def p1_tile(i, masked: bool):
             xt = y_ref[0, pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :]
             ht = jax.lax.dot_general(
                 xt, w1_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ht = ht + vec_ref[_B1, :][None, :]
+            ht = ht + b1v[None, :]
             ht = jnp.where(ht >= 0, ht, a1 * ht)
-            row = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
-            ht = jnp.where(row < T, ht, 0.0)
+            if masked:
+                row = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
+                ht = jnp.where(row < T, ht, 0.0)
             h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :] = ht.astype(
                 jnp.bfloat16
             )
-            return s + jnp.sum(ht), q + jnp.sum(ht * ht)
+            return jnp.sum(ht), jnp.sum(ht * ht)
+
+        def p1_body(i, carry):
+            s, q = carry
+            ds_, dq = p1_tile(i, masked=False)
+            return s + ds_, q + dq
 
         s1, q1 = jax.lax.fori_loop(
-            0, n_tiles, p1_body, (jnp.float32(0.0), jnp.float32(0.0))
+            0, n_tiles - 1, p1_body, (jnp.float32(0.0), jnp.float32(0.0))
         )
+        ds_, dq = p1_tile(n_tiles - 1, masked=True)
+        s1, q1 = s1 + ds_, q1 + dq
         mean1 = s1 * inv_count
         rstd1 = jax.lax.rsqrt(q1 * inv_count - mean1 * mean1 + eps)
         # fold gLN-1 (per-channel affine) into the depthwise taps:
@@ -151,50 +169,85 @@ def _kernel(
         # The ±d shifts come from aligned loads + static register slices; a
         # 128-row backup strip preserves the previous tile's ORIGINAL tail
         # (the in-place write destroys it) for the next tile's left halo.
-        def p2_body(i, carry):
-            s, q = carry
-            mid_b = h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :]
-            halo_b = h_ref[pl.ds(pl.multiple_of(i * TILE, PAD), PAD), :]
-            prev_b = jnp.where(i > 0, bk_ref[:, :], halo_b)
-            nxt_b = h_ref[pl.ds(pl.multiple_of(PAD + (i + 1) * TILE, PAD), PAD), :]
-            mid = mid_b.astype(jnp.float32)
-            prev = prev_b.astype(jnp.float32)
-            nxt = nxt_b.astype(jnp.float32)
-            left = jnp.concatenate([prev[PAD - d :], mid[: TILE - d]], axis=0)
-            right = jnp.concatenate([mid[d:], nxt[:d]], axis=0)
-            t = left * dw0[None, :] + mid * dw1[None, :] + right * dw2[None, :]
+        # Boundary corrections/masks only run in the peeled edge tiles:
+        # corr_l lives in tile 0 (d ≤ PAD ≤ TILE); corr_r and the ≥T zero
+        # mask live in the last two tiles (T − d can fall one tile back).
+        def p2_tile(i, first: bool, tail_corr: bool):
+            # static flags: ``first`` applies corr_l (rows < d, tile 0 only
+            # since d ≤ PAD ≤ TILE); ``tail_corr`` applies corr_r + the ≥T
+            # zero mask (rows ≥ T−d).  Tiles with neither flag skip the
+            # iota/select work entirely.
+            mid = h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :]
+            if first:
+                prev = h_ref[pl.ds(pl.multiple_of(i * TILE, PAD), PAD), :]
+            else:
+                prev = bk_ref[:, :]
+            nxt = h_ref[pl.ds(pl.multiple_of(PAD + (i + 1) * TILE, PAD), PAD), :]
+            bk_ref[:, :] = mid[TILE - PAD :, :]
+            midf = mid.astype(jnp.float32)
+            prevf = prev.astype(jnp.float32)
+            nxtf = nxt.astype(jnp.float32)
+            left = jnp.concatenate([prevf[PAD - d :], midf[: TILE - d]], axis=0)
+            right = jnp.concatenate([midf[d:], nxtf[:d]], axis=0)
+            t = left * dw0[None, :] + midf * dw1[None, :] + right * dw2[None, :]
             t = t + dwb[None, :]
-            rowv = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
-            t = t - jnp.where(rowv < d, corr_l[None, :], 0.0)
-            t = t - jnp.where(rowv >= T - d, corr_r[None, :], 0.0)
+            if first or tail_corr:
+                rowv = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
+            if first:
+                t = t - jnp.where(rowv < d, corr_l[None, :], 0.0)
+            if tail_corr:
+                t = t - jnp.where(rowv >= T - d, corr_r[None, :], 0.0)
             t = jnp.where(t >= 0, t, a2 * t)
-            t = jnp.where(rowv < T, t, 0.0)
-            bk_ref[:, :] = mid_b[TILE - PAD :, :]
+            if tail_corr:
+                t = jnp.where(rowv < T, t, 0.0)
             h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :] = t.astype(
                 jnp.bfloat16
             )
-            return s + jnp.sum(t), q + jnp.sum(t * t)
+            return jnp.sum(t), jnp.sum(t * t)
 
-        s2, q2 = jax.lax.fori_loop(
-            0, n_tiles, p2_body, (jnp.float32(0.0), jnp.float32(0.0))
-        )
+        # exact static extents: corr_l lives in rows < d (tile 0 only, since
+        # d ≤ PAD ≤ TILE); corr_r/zero-mask live in rows ≥ T − d
+        def needs_tail(i):
+            return (i + 1) * TILE > T - PAD  # d ≤ PAD: conservative, static
+
+        s2 = jnp.float32(0.0)
+        q2 = jnp.float32(0.0)
+        first_tail = next(i for i in range(n_tiles) if needs_tail(i))
+        for i in range(min(first_tail, 1)):
+            ds_, dq = p2_tile(i, first=True, tail_corr=False)
+            s2, q2 = s2 + ds_, q2 + dq
+        if first_tail > 1:
+
+            def p2_body(i, carry):
+                s, q = carry
+                ds_, dq = p2_tile(i, first=False, tail_corr=False)
+                return s + ds_, q + dq
+
+            s2, q2 = jax.lax.fori_loop(1, first_tail, p2_body, (s2, q2))
+        for i in range(first_tail, n_tiles):
+            ds_, dq = p2_tile(i, first=(i == 0), tail_corr=True)
+            s2, q2 = s2 + ds_, q2 + dq
         mean2 = s2 * inv_count
         rstd2 = jax.lax.rsqrt(q2 * inv_count - mean2 * mean2 + eps)
         sc2 = vec_ref[_G2, :] * rstd2
         sh2 = vec_ref[_BT2, :] - mean2 * sc2
 
-        # ---- P3: y += (h·sc2 + sh2) @ Ws + bs ------------------------------
+        # ---- P3: y += norm2(h) @ Ws + bs, with gLN-2 folded into Ws --------
+        # (h·sc2 + sh2) @ Ws = h @ (sc2⊙Ws) + (sh2 @ Ws); the per-block
+        # [512, 128] rescale + [128] bias fold replace a full elementwise
+        # normalization pass over every [TILE, 512] tile.
+        ws_f = ws_ref[:].astype(jnp.float32)  # [512, 128]
+        ws2 = (ws_f * sc2[:, None]).astype(jnp.bfloat16)
+        bias2 = wsb_ref[b, :] + jnp.sum(sh2[:, None] * ws_f, axis=0)
+
         def p3_body(i, _):
-            td = h_ref[
-                pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :
-            ].astype(jnp.float32)
-            t = td * sc2[None, :] + sh2[None, :]
+            td = h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :]
             r = jax.lax.dot_general(
-                t.astype(jnp.bfloat16), ws_ref[:],
+                td, ws2,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            r = r + wsb_ref[b, :][None, :]
+            r = r + bias2[None, :]
             sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
             yt = y_ref[0, sl, :]
             y_ref[0, sl, :] = (yt.astype(jnp.float32) + r).astype(jnp.bfloat16)
@@ -250,6 +303,11 @@ def fused_tcn_separator(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, Tpad, Cb), jnp.bfloat16),
         grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            # the peeled f32 boundary tiles push scoped stack slightly past
+            # the 16 MB default; v5e has VMEM headroom beyond that
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(alphas, x.astype(jnp.bfloat16), w1s, wss, vecs, wsbs)
     return y[:, :T, :]
 

@@ -46,7 +46,9 @@ A100_EST = 1000.0  # audio-sec/sec/chip, analytic estimate (see module docstring
 BATCH = 8
 SECONDS = 2.0
 SAMPLE_RATE = 16000
-ITERS = 20
+ITERS = 100  # the device→host scalar fetch costs ~30-70 ms through the
+# axon tunnel regardless of work; 100 in-loop iterations amortize it below
+# 1% (profiler-verified: device time per iteration matches at ITERS=50/100)
 
 
 def main():

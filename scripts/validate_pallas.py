@@ -1,46 +1,235 @@
-import sys, os
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+"""On-chip Pallas kernel validation — writes docs/PALLAS_VALIDATION.json.
+
+Three sections (all run on the real TPU; the pytest suite runs on a CPU
+mesh where Mosaic kernels cannot execute, so THIS artifact is the committed
+evidence that kernel == XLA on current code):
+
+1. fused TCN separator (ops/pallas/convtasnet_block.py) vs the XLA
+   Conv1DBlock stack, f32 and bf16 references, aligned and odd T;
+2. fused short-sequence attention (ops/pallas/attention.py) vs the einsum
+   formulation, over the shapes the dual-path models actually use;
+3. bf16+fused-kernel vs f32 SI-SDRi delta on a synthetically trained
+   full-size ConvTasNet (the production-precision quality check the
+   round-1 verdict asked for).  Skipped with --quick.
+
+    python scripts/validate_pallas.py [--quick] [--out docs/PALLAS_VALIDATION.json]
+"""
+
+import argparse
+import json
 import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
-import numpy as np, jax, jax.numpy as jnp
-from audio_only_speech_separation_tpu.models.convtasnet import Conv1DBlock
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_only_speech_separation_tpu.models import ConvTasNet
+from audio_only_speech_separation_tpu.models.convtasnet import (
+    Conv1DBlock,
+    fused_inference_forward,
+)
+from audio_only_speech_separation_tpu.ops.pallas.attention import (
+    _einsum_attention_bdt,
+    _pallas_attention_bdt,
+)
 from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import (
-    fused_tcn_separator, pack_convtasnet_tcn_params)
+    fused_tcn_separator,
+    pack_convtasnet_tcn_params,
+)
+
 rng = np.random.default_rng(0)
-B, T = 2, 2048
-X, R = 4, 1
-x = rng.normal(size=(B, 128, T)).astype(np.float32) * 0.5
-params = {"params": {}}
-key = jax.random.PRNGKey(0)
-w = jnp.asarray(x)
-blocks, ps = [], []
-for i in range(X):
-    blk = Conv1DBlock(128, 512, 3, dilation=2**i)
-    key, k = jax.random.split(key)
-    p = blk.init(k, w)
-    params["params"][f"tcn_0_{i}"] = p["params"]
-    blocks.append(blk); ps.append(p)
-    w = blk.apply(p, w)
-ref32 = np.asarray(w)
-wb = jnp.asarray(x).astype(jnp.bfloat16)
-for blk, p in zip(blocks, ps):
-    pb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16) if a.dtype==jnp.float32 else a, p)
-    wb = blk.apply(pb, wb)
-ref_bf16 = np.asarray(wb.astype(jnp.float32))
-w1s, wss, vecs, wsbs, alphas, dils = pack_convtasnet_tcn_params(params, R, X)
-x_cl = jnp.asarray(np.swapaxes(x, 1, 2))
-y = fused_tcn_separator(x_cl.astype(jnp.bfloat16), w1s, wss, vecs, wsbs, alphas, dils)
-got = np.swapaxes(np.asarray(y.astype(jnp.float32)), 1, 2)
-print("pallas vs f32 XLA:  max", np.abs(got-ref32).max(), "mean", np.abs(got-ref32).mean())
-print("pallas vs bf16 XLA: max", np.abs(got-ref_bf16).max(), "mean", np.abs(got-ref_bf16).mean())
-print("bf16 XLA vs f32:    max", np.abs(ref_bf16-ref32).max(), "mean", np.abs(ref_bf16-ref32).mean())
-# odd T (masking path)
-T2 = 1500
-x2 = rng.normal(size=(1, 128, T2)).astype(np.float32) * 0.5
-w2 = jnp.asarray(x2)
-for blk, p in zip(blocks, ps):
-    w2 = blk.apply(p, w2)
-ref2 = np.asarray(w2)
-y2 = fused_tcn_separator(jnp.asarray(np.swapaxes(x2,1,2)).astype(jnp.bfloat16), w1s, wss, vecs, wsbs, alphas, dils)
-got2 = np.swapaxes(np.asarray(y2.astype(jnp.float32)), 1, 2)
-print("odd-T pallas vs f32: max", np.abs(got2-ref2).max(), "mean", np.abs(got2-ref2).mean())
+
+
+def validate_tcn():
+    B, T = 2, 2048
+    X, R = 4, 1
+    x = rng.normal(size=(B, 128, T)).astype(np.float32) * 0.5
+    params = {"params": {}}
+    key = jax.random.PRNGKey(0)
+    w = jnp.asarray(x)
+    blocks, ps = [], []
+    for i in range(X):
+        blk = Conv1DBlock(128, 512, 3, dilation=2**i)
+        key, k = jax.random.split(key)
+        p = blk.init(k, w)
+        params["params"][f"tcn_0_{i}"] = p["params"]
+        blocks.append(blk)
+        ps.append(p)
+        w = blk.apply(p, w)
+    ref32 = np.asarray(w)
+    wb = jnp.asarray(x).astype(jnp.bfloat16)
+    for blk, p in zip(blocks, ps):
+        pb = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, p
+        )
+        wb = blk.apply(pb, wb)
+    ref_bf16 = np.asarray(wb.astype(jnp.float32))
+    w1s, wss, vecs, wsbs, alphas, dils = pack_convtasnet_tcn_params(params, R, X)
+    x_cl = jnp.asarray(np.swapaxes(x, 1, 2))
+    y = fused_tcn_separator(x_cl.astype(jnp.bfloat16), w1s, wss, vecs, wsbs, alphas, dils)
+    got = np.swapaxes(np.asarray(y.astype(jnp.float32)), 1, 2)
+
+    T2 = 1500
+    x2 = rng.normal(size=(1, 128, T2)).astype(np.float32) * 0.5
+    w2 = jnp.asarray(x2)
+    for blk, p in zip(blocks, ps):
+        w2 = blk.apply(p, w2)
+    ref2 = np.asarray(w2)
+    y2 = fused_tcn_separator(
+        jnp.asarray(np.swapaxes(x2, 1, 2)).astype(jnp.bfloat16),
+        w1s, wss, vecs, wsbs, alphas, dils,
+    )
+    got2 = np.swapaxes(np.asarray(y2.astype(jnp.float32)), 1, 2)
+    out = {
+        "pallas_vs_f32_xla_max": float(np.abs(got - ref32).max()),
+        "pallas_vs_f32_xla_mean": float(np.abs(got - ref32).mean()),
+        "pallas_vs_bf16_xla_max": float(np.abs(got - ref_bf16).max()),
+        "bf16_xla_vs_f32_max": float(np.abs(ref_bf16 - ref32).max()),
+        "odd_T_pallas_vs_f32_max": float(np.abs(got2 - ref2).max()),
+    }
+    # the kernel must be as close to f32 as the bf16 XLA path is
+    out["ok"] = bool(
+        out["pallas_vs_f32_xla_max"] <= 1.5 * out["bf16_xla_vs_f32_max"] + 1e-3
+    )
+    return out
+
+
+def validate_attention():
+    cases = []
+    ok = True
+    for (BH, dh, T) in [(512, 32, 250), (528, 32, 250), (64, 32, 100), (16, 64, 129)]:
+        q = jnp.asarray(rng.normal(size=(BH, dh, T)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(BH, dh, T)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(BH, dh, T)).astype(np.float32))
+        a32 = np.asarray(jax.jit(_pallas_attention_bdt)(q, k, v))
+        b32 = np.asarray(jax.jit(_einsum_attention_bdt)(q, k, v))
+        qb, kb, vb = (t.astype(jnp.bfloat16) for t in (q, k, v))
+        ab = np.asarray(jax.jit(_pallas_attention_bdt)(qb, kb, vb).astype(jnp.float32))
+        bb = np.asarray(jax.jit(_einsum_attention_bdt)(qb, kb, vb).astype(jnp.float32))
+        case = {
+            "shape": [BH, dh, T],
+            "f32_max_err": float(np.abs(a32 - b32).max()),
+            "bf16_max_err": float(np.abs(ab - bb).max()),
+        }
+        ok = ok and case["f32_max_err"] < 2e-3 and case["bf16_max_err"] < 2e-2
+        cases.append(case)
+    return {"cases": cases, "ok": bool(ok)}
+
+
+def _si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
+    ref = ref - ref.mean()
+    est = est - est.mean()
+    a = np.dot(est, ref) / np.dot(ref, ref)
+    target = a * ref
+    noise = est - target
+    return float(10 * np.log10(np.dot(target, target) / np.dot(noise, noise)))
+
+
+def bf16_quality_study(steps=300):
+    """Overfit a full-size ConvTasNet on synthetic 2-spk mixtures on-chip,
+    then compare SI-SDRi of the f32 forward vs the bf16 fused-kernel
+    forward on held-in clips."""
+    import optax
+
+    from audio_only_speech_separation_tpu.losses import PITLossWrapper, pairwise_neg_snr
+
+    sr, T = 8000, 16000
+    model = ConvTasNet(
+        N=512, L=16, B=128, H=512, P=3, X=8, R=3,
+        norm="gLN", num_spks=2, activate="relu", causal=False, sample_rate=sr,
+    )
+    t = np.arange(T) / sr
+    srcs = np.stack(
+        [
+            np.stack([np.sin(2 * np.pi * f0 * t * (1 + 0.1 * np.sin(2 * np.pi * 2 * t))),
+                      rng.normal(size=T) * 0.3], 0)
+            for f0 in (220.0, 330.0, 440.0, 550.0)
+        ]
+    ).astype(np.float32)  # [4, 2, T]
+    mix = srcs.sum(1)
+    mix_j, src_j = jnp.asarray(mix), jnp.asarray(srcs)
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), mix_j)
+    loss_fn = PITLossWrapper(pairwise_neg_snr, threshold_byloss=False)
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(p, o):
+        def loss(p_):
+            return loss_fn(model.apply(p_, mix_j), src_j)
+
+        l, g = jax.value_and_grad(loss)(p)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o, l
+
+    t0 = time.time()
+    for i in range(steps):
+        params, opt, l = step(params, opt)
+    train_time = time.time() - t0
+
+    est_f32 = np.asarray(jax.jit(model.apply)(params, mix_j))
+    packed = pack_convtasnet_tcn_params(params, 3, 8)
+    est_bf16 = np.asarray(
+        jax.jit(lambda p, m: fused_inference_forward(model, p, m, packed=packed))(
+            params, mix_j.astype(jnp.bfloat16)
+        ).astype(jnp.float32)
+    )
+
+    def pit_si_sdri(est):
+        vals = []
+        for b in range(est.shape[0]):
+            perms = [(0, 1), (1, 0)]
+            best = max(
+                np.mean([_si_sdr(est[b, i], srcs[b, j]) for i, j in enumerate(pm)])
+                for pm in perms
+            )
+            base = np.mean([_si_sdr(mix[b], srcs[b, j]) for j in range(2)])
+            vals.append(best - base)
+        return float(np.mean(vals))
+
+    si_f32 = pit_si_sdri(est_f32)
+    si_bf16 = pit_si_sdri(est_bf16)
+    return {
+        "train_steps": steps,
+        "train_seconds": round(train_time, 1),
+        "final_train_loss_db": float(l),
+        "si_sdri_f32_db": round(si_f32, 3),
+        "si_sdri_bf16_fused_db": round(si_bf16, 3),
+        "delta_db": round(si_f32 - si_bf16, 3),
+        "ok": bool(abs(si_f32 - si_bf16) < 0.1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="skip the training study")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    report = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "tcn_kernel": validate_tcn(),
+        "attention_kernel": validate_attention(),
+    }
+    if not args.quick:
+        report["bf16_quality"] = bf16_quality_study()
+    report["ok"] = all(
+        v.get("ok", True) for v in report.values() if isinstance(v, dict)
+    )
+    print(json.dumps(report, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=2)
+            f.write("\n")
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
