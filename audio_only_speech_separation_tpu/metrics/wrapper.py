@@ -13,16 +13,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..losses import PairwiseNegSDR, PITLossWrapper, pairwise_neg_sisdr, pairwise_neg_snr
+from .pesq import pesq as pesq_score
 from .sdr import sdr_pit
 
 
 class MetricsTracker:
-    def __init__(self, save_file: str = ""):
+    """``compute_pesq=True`` adds a best-permutation-averaged PESQ column
+    (metrics/pesq.py — P.862-structure estimator; requires ``sample_rate``
+    of 8 or 16 kHz).  Off by default: PESQ is ~10× costlier than SDR."""
+
+    def __init__(self, save_file: str = "", compute_pesq: bool = False,
+                 sample_rate: int = 8000):
         self.all_sdrs = []
         self.all_sdrs_i = []
         self.all_sisnrs = []
         self.all_sisnrs_i = []
+        self.all_pesq = []
+        self.compute_pesq = compute_pesq
+        self.sample_rate = sample_rate
         csv_columns = ["snt_id", "sdr", "sdr_i", "si-snr", "si-snr_i"]
+        if compute_pesq:
+            csv_columns.append("pesq")
         self.results_csv = open(save_file, "w")
         self.writer = csv.DictWriter(self.results_csv, fieldnames=csv_columns)
         self.writer.writeheader()
@@ -54,6 +65,23 @@ class MetricsTracker:
             "si-snr": -sisnr,
             "si-snr_i": -sisnr_i,
         }
+        if self.compute_pesq:
+            # score the best (SI-SNR-optimal is close enough to PESQ-optimal)
+            # permutation: average PESQ over sources under the identity and
+            # swapped pairings, take the max — exact for n_src ≤ 3
+            import itertools
+
+            best = max(
+                np.mean(
+                    [
+                        pesq_score(clean[j], estimate[i], self.sample_rate)
+                        for i, j in enumerate(perm)
+                    ]
+                )
+                for perm in itertools.permutations(range(n_src))
+            )
+            row["pesq"] = best
+            self.all_pesq.append(best)
         self.writer.writerow(row)
         self.all_sdrs.append(sdr)
         self.all_sdrs_i.append(sdr_i)
@@ -68,15 +96,16 @@ class MetricsTracker:
 
     def final(self):
         for stat, fn in (("avg", np.mean), ("std", np.std)):
-            self.writer.writerow(
-                {
-                    "snt_id": stat,
-                    "sdr": fn(self.all_sdrs),
-                    "sdr_i": fn(self.all_sdrs_i),
-                    "si-snr": fn(self.all_sisnrs),
-                    "si-snr_i": fn(self.all_sisnrs_i),
-                }
-            )
+            row = {
+                "snt_id": stat,
+                "sdr": fn(self.all_sdrs),
+                "sdr_i": fn(self.all_sdrs_i),
+                "si-snr": fn(self.all_sisnrs),
+                "si-snr_i": fn(self.all_sisnrs_i),
+            }
+            if self.compute_pesq and self.all_pesq:
+                row["pesq"] = fn(self.all_pesq)
+            self.writer.writerow(row)
         self.results_csv.close()
 
 

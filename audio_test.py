@@ -49,7 +49,11 @@ def main(config, bucket_seconds: float = 1.0, batch_size: int = 1):
 
     results_dir = os.path.join(exp_dir, "results")
     os.makedirs(results_dir, exist_ok=True)
-    metrics = MetricsTracker(save_file=os.path.join(results_dir, "metrics.csv"))
+    metrics = MetricsTracker(
+        save_file=os.path.join(results_dir, "metrics.csv"),
+        compute_pesq=bool(config["main_args"].get("pesq")) and sr in (8000, 16000),
+        sample_rate=sr,
+    )
 
     bucket = max(1, int(bucket_seconds * sr))
 
@@ -89,10 +93,15 @@ if __name__ == "__main__":
         help="Path to the experiment conf.yml",
     )
     parser.add_argument("--bucket-seconds", type=float, default=1.0)
+    parser.add_argument(
+        "--pesq", action="store_true",
+        help="add a PESQ column (P.862-structure estimator, 8/16 kHz only)",
+    )
     parser.add_argument("--batch-size", type=int, default=1)
     args = parser.parse_args()
     with open(args.conf_dir) as f:
         config = yaml.safe_load(f)
     config.setdefault("main_args", {})
     config["main_args"].setdefault("exp_dir", os.path.dirname(args.conf_dir))
+    config["main_args"]["pesq"] = args.pesq
     main(config, bucket_seconds=args.bucket_seconds, batch_size=args.batch_size)

@@ -37,7 +37,7 @@ CASES = [
 ]
 
 SECONDS = 2.0
-ITERS = 10
+ITERS = 50  # amortize the ~30-70 ms axon tunnel scalar fetch below 2%
 
 
 def bench_one(name, ctor, sr, batch):
