@@ -22,6 +22,7 @@ from ..ops.attention import MultiheadAttention, sinusoidal_positions
 from ..ops.chunk import merge_feature, split_feature
 from ..ops.conv import ConvDecoder, ConvEncoder, PointwiseConv
 from ..ops.norms import GlobalLayerNorm
+from ..parallel.sequence import shard_chunks
 from . import register_model
 from .base import BaseModel
 
@@ -61,7 +62,13 @@ class SBTransformerLayer(nn.Module):
 
 class SBTransformerBlock(nn.Module):
     """num_layers transformer encoder + final LayerNorm, optional positions
-    and causal mask (sepformer.py:469-558)."""
+    and causal mask (sepformer.py:469-558).
+
+    Note: a stack-resident Pallas megakernel (all 8 layers on VMEM-resident
+    activations) was built and measured SLOWER than this XLA lowering +
+    the per-MHA fused attention kernel — with dh=32 the per-head dots are
+    MXU-latency-bound, and XLA's single [B·h, K, K] batched einsum
+    pipelines them better (docs/BENCHMARKS.md, Sepformer analysis)."""
 
     num_layers: int
     d_model: int
@@ -163,6 +170,8 @@ class Sepformer(BaseModel):
         h = GlobalLayerNorm(N, eps=1e-8, name="mask_norm")(mix_w)
         h = PointwiseConv(N, use_bias=False, name="mask_conv1d")(h)
         chunks, gap = split_feature(h, self.masknet_chunksize)  # [B, N, K, S]
+        # sequence parallelism: chunk-index axis S onto the sp mesh axis
+        chunks = shard_chunks(chunks)
 
         intra_kwargs = dict(
             num_layers=self.intra_numlayers,

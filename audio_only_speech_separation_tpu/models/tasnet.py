@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.chunk import merge_feature, split_feature
+from ..parallel.sequence import shard_chunks
 from ..ops.conv import ConvDecoder, ConvEncoder, PointwiseConv
 from ..ops.norms import GlobalLayerNorm
 from . import register_model
@@ -105,6 +106,9 @@ class TasNet(BaseModel):
         # separator
         if self.module in ("DPRNN", "DPTNet"):
             blocks, blk_rest = split_feature(squeeze_mean, self.block_size)
+            # sequence parallelism: chunk-index axis S onto the sp mesh axis
+            # (no-op off-mesh; see parallel/sequence.py)
+            blocks = shard_chunks(blocks)
             core_cls = DPRNNCore if self.module == "DPRNN" else DPTNetCore
             kwargs = dict(
                 input_size=self.bn_dim,
@@ -115,6 +119,7 @@ class TasNet(BaseModel):
                 unfold=self.unfold,
             )
             core_out = core_cls(**kwargs, name="seq_model")(blocks)
+            core_out = shard_chunks(core_out)
             # [B, 1, bn, K, S] → merge overlap-add → [B, bn, L]
             core_out = core_out.reshape(B, self.bn_dim, self.block_size, -1)
             feature_map = merge_feature(core_out, blk_rest)

@@ -102,18 +102,21 @@ class MultiheadAttention(nn.Module):
         )
         if use_kernel:
             B, T, _ = query.shape
-
-            def proj_t(x, w, b):  # → [B*h, dh, T], head-major features
-                y = jnp.einsum(
-                    "bte,fe->bft", x, w.astype(x.dtype),
-                    preferred_element_type=jnp.float32,
-                ).astype(x.dtype)
-                if b is not None:
-                    y = y + b.astype(y.dtype)[None, :, None]
-                return y.reshape(B * h, dh, T)
+            # single packed qkv projection (one [E, 3E] matmul — 3× the MXU
+            # tile work of separate q/k/v einsums), output already in the
+            # kernel's features-in-sublanes layout
+            qkv = jnp.einsum(
+                "bte,fe->bft", query, w_in.astype(query.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(query.dtype)  # [B, 3E, T]
+            if b_in is not None:
+                qkv = qkv + b_in.astype(qkv.dtype)[None, :, None]
+            q3, k3, v3 = jnp.split(qkv, 3, axis=1)
 
             o = fused_attention_bdt(
-                proj_t(query, wq, bq), proj_t(key, wk, bk), proj_t(value, wv, bv)
+                q3.reshape(B * h, dh, T),
+                k3.reshape(B * h, dh, T),
+                v3.reshape(B * h, dh, T),
             ).reshape(B, h, dh, T)
             # output projection folded over the [h, dh] layout
             out = jnp.einsum(

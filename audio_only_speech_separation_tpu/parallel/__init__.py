@@ -8,6 +8,7 @@ from .mesh import (
     replicate,
     local_shard_info,
 )
+from .sequence import maybe_shard, shard_chunks
 
 __all__ = [
     "make_mesh",
@@ -16,4 +17,6 @@ __all__ = [
     "shard_batch",
     "replicate",
     "local_shard_info",
+    "maybe_shard",
+    "shard_chunks",
 ]

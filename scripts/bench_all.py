@@ -31,6 +31,8 @@ CASES = [
     ("Sepformer (base)", lambda: M.Sepformer(sample_rate=16000), 16000, 2),
     ("TDANet (lrs2)", lambda: M.TDANet(out_channels=128, in_channels=512, num_blocks=16, upsampling_depth=5, enc_kernel_size=4, num_sources=2, sample_rate=16000), 16000, 4),
     ("AFRCNN (lrs2)", lambda: M.AFRCNN(out_channels=512, in_channels=512, num_blocks=16, upsampling_depth=5, enc_kernel_size=1, num_sources=2, sample_rate=16000), 16000, 4),
+    ("Sandglasset (defaults)", lambda: M.Sandglasset(sample_rate=8000), 8000, 8),
+    ("DPRNNTasNet (legacy)", lambda: M.DPRNNTasNet(sample_rate=8000), 8000, 8),
     # BSRNN LAST: it trips an axon-backend UNIMPLEMENTED that poisons the
     # device context for every subsequent compile in the same process
     ("BSRNN (wsj0)", lambda: M.BSRNN(win=256, stride=64, feature_dim=128, num_spks=2, num_repeat=8, sample_rate=8000), 8000, 8),
