@@ -98,7 +98,7 @@ class MultiheadAttention(nn.Module):
             and not (train and self.dropout > 0.0)
             and query is key
             and key is value
-            and attention_eligible(query.shape[1], dh)
+            and attention_eligible(query.shape[1], dh, query.shape[0] * h)
         )
         if use_kernel:
             B, T, _ = query.shape

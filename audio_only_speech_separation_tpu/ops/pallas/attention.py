@@ -120,14 +120,24 @@ def _fa_bwd(res, g):
 fused_attention_bdt.defvjp(_fa_fwd, _fa_bwd)
 
 
-def attention_eligible(T: int, dh: int, backend: str | None = None) -> bool:
-    """Whether the fused kernel applies: TPU backend, VMEM-resident T, and
-    low lane-padding waste (T far below the 128 quantum — e.g. the S≈33
-    inter-chunk pass — runs 4×+ padded work in the kernel while XLA's
-    logits for such tiny T are cheap; keep those on the einsum path)."""
+def attention_eligible(
+    T: int, dh: int, batch_heads: int | None = None, backend: str | None = None
+) -> bool:
+    """Whether the fused kernel applies.
+
+    The kernel pays (Tp/T)² extra in-VMEM compute from lane padding but
+    eliminates the O(BH·T²) f32 logits HBM round-trip.  It wins when either
+    the padding waste is small (Tp ≤ 1.6·T) or the logits the einsum path
+    would materialize are large (≥ 64 MB — e.g. Sandglasset's chunk-axis
+    attention at ~1 GB).  Sepformer's S=33 inter pass (ratio 3.9, logits
+    17 MB) correctly stays on the einsum path — measured faster there."""
     if backend is None:
         backend = jax.default_backend()
     Tp = _round_up(T, 128)
-    return (
-        backend == "tpu" and Tp <= MAX_T_PAD and dh <= 256 and Tp <= T * 1.3
-    )
+    if not (backend == "tpu" and Tp <= MAX_T_PAD and dh <= 256):
+        return False
+    if Tp <= T * 1.6:
+        return True
+    if batch_heads is not None:
+        return batch_heads * T * T * 4 >= 64 * 1024 * 1024
+    return False

@@ -1,0 +1,228 @@
+"""Fused (bi)LSTM scan — the recurrence as one Pallas kernel.
+
+Why: the XLA ``lax.scan`` LSTM costs ~30 µs per step at dual-path shapes
+(batch ≈ 1000, hidden 128): each step's [2, B, 4H] input-projection slice
+is DMA'd from HBM, the tiny hidden matmul runs, and the output slice is
+written back — all strictly serialized, because an XLA while loop cannot
+prefetch iteration t+1 while computing t.  This kernel double-buffers both
+the input DMA and the output write-back, so the per-step HBM traffic
+overlaps the recurrence compute; the [2, B, H] hidden/cell state lives in
+VMEM for the whole sequence.
+
+Contract: consumes the PRE-PROJECTED gate inputs xw [T, 2, B, 4H]
+(x·W_ih + b, both directions stacked, time already reversed for the
+backward direction — exactly what ops/rnn.bilstm_scan builds), returns all
+hidden states [T, 2, B, H].  Gate math identical to ops/rnn.bilstm_scan
+(torch gate order i, f, g, o; bf16 state like the XLA path) — the XLA scan
+is the parity oracle and the custom-VJP backward.
+
+Batch is tiled across the grid (independent rows), so large dual-path
+batches pipeline across grid steps as well.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MAX_BT = 512  # batch rows per grid step
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+CHUNK = 8  # time steps per DMA transfer — amortizes per-copy latency
+
+
+def _kernel(
+    xw_hbm,  # ANY [Tc, CHUNK, D, Bp, 4H] bf16 (D = #directions)
+    whh_ref,  # VMEM [D, H, 4H] bf16
+    o_hbm,  # ANY [Tc, CHUNK, D, Bp, H] bf16 (output)
+    xbuf,  # VMEM [2, CHUNK, D, BT, 4H] bf16 (double-buffered input stage)
+    obuf,  # VMEM [2, CHUNK, D, BT, H] bf16 (double-buffered output stage)
+    h_ref,  # VMEM [D, BT, H] bf16
+    c_ref,  # VMEM [D, BT, H] bf16
+    in_sem,  # DMA (2,)
+    out_sem,  # DMA (2,)
+    *,
+    Tc: int,
+    H: int,
+    BT: int,
+    D: int,
+):
+    b = pl.program_id(0)
+    row0 = b * BT
+
+    def in_copy(tc, slot):
+        return pltpu.make_async_copy(
+            xw_hbm.at[tc, :, :, pl.ds(row0, BT), :], xbuf.at[slot], in_sem.at[slot]
+        )
+
+    def out_copy(tc, slot):
+        return pltpu.make_async_copy(
+            obuf.at[slot], o_hbm.at[tc, :, :, pl.ds(row0, BT), :], out_sem.at[slot]
+        )
+
+    h_ref[:, :, :] = jnp.zeros((D, BT, H), jnp.bfloat16)
+    c_ref[:, :, :] = jnp.zeros((D, BT, H), jnp.bfloat16)
+    in_copy(0, 0).start()
+
+    def chunk_body(tc, carry):
+        slot = jax.lax.rem(tc, 2)
+        nxt = jax.lax.rem(tc + 1, 2)
+
+        @pl.when(tc + 1 < Tc)
+        def _():
+            in_copy(tc + 1, nxt).start()
+
+        in_copy(tc, slot).wait()
+        # wait for this slot's previous output write before overwriting
+        @pl.when(tc >= 2)
+        def _():
+            out_copy(tc - 2, slot).wait()
+
+        h = h_ref[:, :, :]
+        c = c_ref[:, :, :]
+        for ch in range(xbuf.shape[1]):  # static inner loop over the chunk
+            xt = xbuf[slot, ch]  # [D, BT, 4H]
+            # gate inputs rounded to bf16 exactly like the XLA scan, but
+            # the transcendentals run in f32 — Mosaic miscompiles bf16
+            # sigmoid (f32-scalar broadcast into a bf16 vector)
+            gates = (
+                xt
+                + jax.lax.dot_general(
+                    h,
+                    whh_ref[:, :, :],
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16)
+            ).astype(jnp.float32)
+            i = jax.nn.sigmoid(gates[:, :, 0 * H : 1 * H])
+            f = jax.nn.sigmoid(gates[:, :, 1 * H : 2 * H])
+            g = jnp.tanh(gates[:, :, 2 * H : 3 * H])
+            o = jax.nn.sigmoid(gates[:, :, 3 * H : 4 * H])
+            c32 = f * c.astype(jnp.float32) + i * g
+            h = (o * jnp.tanh(c32)).astype(jnp.bfloat16)
+            c = c32.astype(jnp.bfloat16)
+            obuf[slot, ch] = h
+        h_ref[:, :, :] = h
+        c_ref[:, :, :] = c
+        out_copy(tc, slot).start()
+        return carry
+
+    jax.lax.fori_loop(0, Tc, chunk_body, 0)
+    # drain the in-flight output copies
+    @pl.when(Tc >= 2)
+    def _():
+        out_copy(Tc - 2, jax.lax.rem(Tc - 2, 2)).wait()
+
+    out_copy(Tc - 1, jax.lax.rem(Tc - 1, 2)).wait()
+
+
+def _pallas_bilstm(xw, w_hh):
+    T, D, B, H4 = xw.shape
+    H = H4 // 4
+    # tile the batch with minimal padding waste
+    n_bt = -(-B // MAX_BT)
+    BT = _round_up(-(-B // n_bt), 8)
+    Bp = BT * n_bt
+    Tp = _round_up(T, CHUNK)
+    pad_t = Tp - T
+    if Bp != B or pad_t:
+        # zero-padded tail steps run after every valid step, so they cannot
+        # corrupt valid outputs (the recurrence flows forward)
+        xw = jnp.pad(xw, ((0, pad_t), (0, 0), (0, Bp - B), (0, 0)))
+    xw5 = xw.reshape(Tp // CHUNK, CHUNK, D, Bp, H4)
+    out = pl.pallas_call(
+        functools.partial(_kernel, Tc=Tp // CHUNK, H=H, BT=BT, D=D),
+        grid=(Bp // BT,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((Tp // CHUNK, CHUNK, D, Bp, H), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, D, BT, H4), jnp.bfloat16),
+            pltpu.VMEM((2, CHUNK, D, BT, H), jnp.bfloat16),
+            pltpu.VMEM((D, BT, H), jnp.bfloat16),
+            pltpu.VMEM((D, BT, H), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(xw5.astype(jnp.bfloat16), w_hh.astype(jnp.bfloat16))
+    out = out.reshape(Tp, D, Bp, H)
+    if Bp != B or pad_t:
+        out = out[:T, :, :B]
+    return out
+
+
+def _xla_bilstm(xw, w_hh):
+    """The lax.scan formulation (parity oracle + VJP backward)."""
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + jax.lax.dot_general(
+            h, w_hh.astype(h.dtype),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).astype(h.dtype)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    D, B, H4 = xw.shape[1], xw.shape[2], xw.shape[3]
+    H = H4 // 4
+    init = (
+        jnp.zeros((D, B, H), xw.dtype),
+        jnp.zeros((D, B, H), xw.dtype),
+    )
+    _, hs = jax.lax.scan(step, init, xw)
+    return hs
+
+
+@jax.custom_vjp
+def fused_bilstm(xw: jnp.ndarray, w_hh: jnp.ndarray) -> jnp.ndarray:
+    """[T, D, B, 4H] pre-projected gates → [T, D, B, H] hidden states
+    (D = number of directions; backward direction pre-reversed in time)."""
+    return _pallas_bilstm(xw, w_hh)
+
+
+def _fb_fwd(xw, w_hh):
+    return _pallas_bilstm(xw, w_hh), (xw, w_hh)
+
+
+def _fb_bwd(res, g):
+    xw, w_hh = res
+    _, vjp = jax.vjp(_xla_bilstm, xw, w_hh)
+    return vjp(g)
+
+
+fused_bilstm.defvjp(_fb_fwd, _fb_bwd)
+
+
+def bilstm_eligible(T: int, B: int, H: int, dtype, backend: str | None = None) -> bool:
+    """Kernel gate: TPU, bf16, lane-aligned gate slices, and the regime the
+    kernel actually wins in — long sequences with a SMALL batch, where the
+    XLA scan is dominated by per-step DMA latency (BSRNN's per-band time
+    RNN: T≈250, B≈64 → 11 % whole-model win).  At dual-path shapes with
+    batch ≥ a few hundred the per-step compute hides the DMA and the
+    kernel's serial grid + f32 transcendentals LOSE to the XLA scan
+    (DPRNN measured 2× slower with the kernel forced on) — those stay on
+    lax.scan."""
+    if backend is None:
+        backend = jax.default_backend()
+    return (
+        backend == "tpu"
+        and dtype == jnp.bfloat16
+        and H % 128 == 0
+        and T >= 128
+        and 8 <= B <= 128
+    )

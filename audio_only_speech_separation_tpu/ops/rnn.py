@@ -26,6 +26,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .pallas.lstm import bilstm_eligible, fused_bilstm
+
 
 def lstm_scan(
     x: jnp.ndarray,  # [B, T, D]
@@ -43,6 +45,16 @@ def lstm_scan(
     if bias is not None:
         xw = xw + bias
     xw = jnp.swapaxes(xw, 0, 1)  # [T, B, 4H]
+
+    if bilstm_eligible(T, B, H, x.dtype):
+        # fused Pallas scan (ops/pallas/lstm.py) — single-direction call
+        xwd = xw[:, None]  # [T, 1, B, 4H]
+        if reverse:
+            xwd = xwd[::-1]
+        hs = fused_bilstm(xwd, w_hh[None])[:, 0]  # [T, B, H]
+        if reverse:
+            hs = hs[::-1]
+        return jnp.swapaxes(hs, 0, 1)
 
     def step(carry, xt):
         h, c = carry
@@ -82,6 +94,13 @@ def bilstm_scan(
     if bias is not None:
         xw = xw + bias[:, None, None, :]
     xw = jnp.moveaxis(xw, 2, 0)  # [T, 2, B, 4H]
+
+    if bilstm_eligible(T, B, H, x.dtype):
+        hs = fused_bilstm(xw, w_hh)  # [T, 2, B, H]
+        fwd = hs[:, 0]
+        bwd = hs[:, 1][::-1]
+        out = jnp.concatenate([fwd, bwd], axis=-1)
+        return jnp.swapaxes(out, 0, 1)
 
     def step(carry, xt):
         h, c = carry  # [2, B, H]

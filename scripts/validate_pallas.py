@@ -41,6 +41,10 @@ from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import (
     fused_tcn_separator,
     pack_convtasnet_tcn_params,
 )
+from audio_only_speech_separation_tpu.ops.pallas.lstm import (
+    _pallas_bilstm,
+    _xla_bilstm,
+)
 
 rng = np.random.default_rng(0)
 
@@ -117,6 +121,25 @@ def validate_attention():
             "bf16_max_err": float(np.abs(ab - bb).max()),
         }
         ok = ok and case["f32_max_err"] < 2e-3 and case["bf16_max_err"] < 2e-2
+        cases.append(case)
+    return {"cases": cases, "ok": bool(ok)}
+
+
+def validate_bilstm():
+    cases = []
+    ok = True
+    # (T, D, B, H): BSRNN band RNN (the shape the gate enables) + generics
+    for (T, D, B, H) in [(251, 2, 64, 256), (250, 2, 96, 128), (128, 1, 32, 128)]:
+        xw = jnp.asarray(
+            (rng.normal(size=(T, D, B, 4 * H)) * 0.3).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        whh = jnp.asarray(
+            (rng.normal(size=(D, H, 4 * H)) * 0.05).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        a = np.asarray(jax.jit(_pallas_bilstm)(xw, whh).astype(jnp.float32))
+        b = np.asarray(jax.jit(_xla_bilstm)(xw, whh).astype(jnp.float32))
+        case = {"shape": [T, D, B, H], "max_err": float(np.abs(a - b).max())}
+        ok = ok and case["max_err"] < 1e-2  # bf16 state, 250-step recurrence
         cases.append(case)
     return {"cases": cases, "ok": bool(ok)}
 
@@ -217,6 +240,7 @@ def main():
         "device": str(jax.devices()[0]),
         "tcn_kernel": validate_tcn(),
         "attention_kernel": validate_attention(),
+        "bilstm_kernel": validate_bilstm(),
     }
     if not args.quick:
         report["bf16_quality"] = bf16_quality_study()
