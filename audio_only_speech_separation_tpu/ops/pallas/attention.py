@@ -34,7 +34,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-HEADS_PER_BLOCK = 8
+HEADS_PER_BLOCK = 32
 MAX_T_PAD = 1024  # logits [G, T_pad, T_pad] f32 must fit comfortably in VMEM
 _NEG = -1e9
 
@@ -78,8 +78,10 @@ def _pallas_attention_bdt(q, k, v):
     BH, dh, T = q.shape
     scale = 1.0 / float(np.sqrt(dh))
     Tp = _round_up(T, 128)
-    # VMEM budget: the f32 [G, Tp, Tp] logits are the big buffer — cap ~4 MB
-    G = max(1, min(HEADS_PER_BLOCK, (4 << 20) // (Tp * Tp * 4)))
+    # VMEM budget: the f32 [G, Tp, Tp] logits are the big buffer — cap ~8 MB
+    # (more heads per program amortizes the ~µs per-program overhead, which
+    # dominates at huge head counts like Sandglasset's BH=16k, dh=16)
+    G = max(1, min(HEADS_PER_BLOCK, (8 << 20) // (Tp * Tp * 4)))
     while BH % G:
         G -= 1
     if T < Tp:

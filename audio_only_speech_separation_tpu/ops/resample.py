@@ -81,7 +81,9 @@ def avg_pool1d(x: jnp.ndarray, kernel: int, stride: int | None = None) -> jnp.nd
     m = np.zeros((T, n), dtype=np.float32)
     for i in range(n):
         m[i * stride : i * stride + kernel, i] = 1.0 / kernel
-    return jnp.einsum("...t,to->...o", x, jnp.asarray(m))
+    # matrix in x.dtype: an f32 matrix would silently promote the whole
+    # downstream graph to f32 under bf16 inference
+    return jnp.einsum("...t,to->...o", x, jnp.asarray(m, x.dtype))
 
 
 @lru_cache(maxsize=64)
@@ -107,4 +109,8 @@ def interpolate_linear_align_corners(x: jnp.ndarray, size: int) -> jnp.ndarray:
     T = x.shape[-1]
     if size == T:
         return x
-    return jnp.einsum("...t,to->...o", x, jnp.asarray(_linear_interp_matrix(T, size)))
+    # matrix in x.dtype — an f32 matrix promotes the product to f32, which
+    # poisoned every Sandglasset block after the first (4× slower scans)
+    return jnp.einsum(
+        "...t,to->...o", x, jnp.asarray(_linear_interp_matrix(T, size), x.dtype)
+    )
