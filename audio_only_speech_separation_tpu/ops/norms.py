@@ -18,11 +18,16 @@ import jax.numpy as jnp
 
 
 def _moments(x, axes):
-    # statistics in float32 even under bf16 compute (mixed-precision policy)
+    # statistics in float32 even under bf16 compute (mixed-precision policy).
+    # Single-pass form (E[x²] − μ²): one traversal instead of two — the
+    # conv-pyramid models run ~12 gLNs per block, so the second pass is
+    # real HBM time.  Safe for normalized activations (μ ≈ 0, no
+    # catastrophic cancellation); clamped at 0 for the pathological case.
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=axes, keepdims=True)
-    # biased variance (torch unbiased=False), matching the reference
-    var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(x32), axis=axes, keepdims=True) - jnp.square(mean), 0.0
+    )
     return mean, var
 
 
