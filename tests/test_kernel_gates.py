@@ -1,0 +1,57 @@
+"""Eligibility gates for the Pallas kernels (pure host logic, CPU-testable).
+
+The kernels themselves can only execute on TPU (validated on-chip by
+scripts/validate_pallas.py → docs/PALLAS_VALIDATION.json); these tests pin
+the measured dispatch policy so a refactor can't silently change which
+path a deployment takes.
+"""
+
+import jax.numpy as jnp
+
+from audio_only_speech_separation_tpu.ops.pallas.attention import attention_eligible
+from audio_only_speech_separation_tpu.ops.pallas.lstm import bilstm_eligible
+
+
+class TestAttentionGate:
+    def test_off_tpu_never(self):
+        assert not attention_eligible(250, 32, 512, backend="cpu")
+
+    def test_low_padding_waste_eligible(self):
+        # Sepformer intra: T=250 → Tp=256, ratio 1.02
+        assert attention_eligible(250, 32, 528, backend="tpu")
+        # DPTNet rows: T=100 → Tp=128, ratio 1.28
+        assert attention_eligible(100, 32, 1280, backend="tpu")
+
+    def test_tiny_T_small_traffic_stays_einsum(self):
+        # Sepformer inter: T=33, ratio 3.9, logits ≈ 17 MB — einsum wins
+        assert not attention_eligible(33, 32, 4000, backend="tpu")
+
+    def test_high_traffic_overrides_padding(self):
+        # Sandglasset chunk attention: T=131, ratio 1.96 but ≈ 1 GB logits
+        assert attention_eligible(131, 16, 16000, backend="tpu")
+        # same shape, small head count → small logits → einsum
+        assert not attention_eligible(131, 16, 64, backend="tpu")
+
+    def test_vmem_bound(self):
+        assert not attention_eligible(2000, 32, 512, backend="tpu")  # Tp > 1024
+
+
+class TestBilstmGate:
+    def test_off_tpu_never(self):
+        assert not bilstm_eligible(251, 64, 256, jnp.bfloat16, backend="cpu")
+
+    def test_f32_never(self):
+        assert not bilstm_eligible(251, 64, 256, jnp.float32, backend="tpu")
+
+    def test_bsrnn_band_rnn_regime(self):
+        # the measured-win regime: long T, small B (BSRNN per-band RNN)
+        assert bilstm_eligible(251, 64, 256, jnp.bfloat16, backend="tpu")
+
+    def test_large_batch_dual_path_stays_on_scan(self):
+        # DPRNN intra (B=320) and Sandglasset intra (B=1048): measured
+        # slower with the kernel — must stay on lax.scan
+        assert not bilstm_eligible(100, 320, 128, jnp.bfloat16, backend="tpu")
+        assert not bilstm_eligible(250, 1048, 128, jnp.bfloat16, backend="tpu")
+
+    def test_unaligned_hidden_stays_on_scan(self):
+        assert not bilstm_eligible(251, 64, 96, jnp.bfloat16, backend="tpu")
