@@ -199,9 +199,24 @@ class _ShiftedConv(nn.Module):
         if self.groups == C and self.out_channels == C:
             # depthwise: k shifted per-channel multiplies (pure elementwise,
             # fuses with neighboring ops instead of XLA's grouped conv)
-            y = tap(0) * w[0, 0]
-            for j in range(1, k):
-                y = y + tap(j) * w[j, 0]
+            if s == 2 and d == 1:
+                # even/odd decomposition: tap(j) = xp[j + 2t] =
+                # parity-half(j)[j//2 + t] — 2 strided slices total instead
+                # of k (strided slices don't fuse and are real time in the
+                # conv-pyramid models)
+                halves = (
+                    jax.lax.slice(xp, (0, 0, 0), (B, ((xp.shape[1] - 1) // 2) * 2 + 1, C), (1, 2, 1)),
+                    jax.lax.slice(xp, (0, 1, 0), (B, ((xp.shape[1] - 2) // 2) * 2 + 2, C), (1, 2, 1)),
+                )
+                y = None
+                for j in range(k):
+                    hj = halves[j % 2][:, j // 2 : j // 2 + T_out]
+                    yj = hj * w[j, 0]
+                    y = yj if y is None else y + yj
+            else:
+                y = tap(0) * w[0, 0]
+                for j in range(1, k):
+                    y = y + tap(j) * w[j, 0]
         elif C == 1:
             # single-channel input (learned filterbank): one framed matmul
             frames = jnp.concatenate([tap(j) for j in range(k)], axis=-1)
