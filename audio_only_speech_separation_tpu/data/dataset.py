@@ -67,7 +67,14 @@ class ManifestDataset:
         self.normalize_audio = normalize_audio
         self.seg_len = None if segment is None else int(segment * sample_rate)
         self.test = self.seg_len is None
-        self._rng = np.random.default_rng(seed)
+        # crops are deterministic per (seed, epoch, item): reproducible
+        # runs, and every multi-host layout sees identical sample content
+        # (an order-dependent shared RNG would silently diverge between a
+        # 1×N and an M×(N/M) device layout — tests/test_multihost.py pins
+        # the equivalence).  The reference's torch-worker crops are
+        # nondeterministic (lrs2datamodule.py:157-164).
+        self._seed = 0 if seed is None else seed
+        self._epoch = 0
 
         with open(os.path.join(json_dir, self.mix_manifest)) as f:
             mix_infos = json.load(f)
@@ -112,14 +119,19 @@ class ManifestDataset:
     def __len__(self):
         return self.length
 
-    def _window(self, n_samples: int) -> Tuple[int, Optional[int]]:
+    def set_epoch(self, epoch: int):
+        """Advance the crop RNG stream (called via DataLoader.set_epoch)."""
+        self._epoch = epoch
+
+    def _window(self, n_samples: int, idx: int) -> Tuple[int, Optional[int]]:
         if self.test or n_samples == self.seg_len:
             return 0, None if self.test else self.seg_len
-        start = int(self._rng.integers(0, n_samples - self.seg_len))
+        rng = np.random.default_rng((self._seed, self._epoch, idx))
+        start = int(rng.integers(0, n_samples - self.seg_len))
         return start, start + self.seg_len
 
     def __getitem__(self, idx: int):
-        start, stop = self._window(self.mix[idx][1])
+        start, stop = self._window(self.mix[idx][1], idx)
         mixture = _read(self.mix[idx][0], start, stop)
         key = self.mix[idx][0].split("/")[-1]
         if self.n_src == 1:

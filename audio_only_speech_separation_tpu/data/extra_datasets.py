@@ -33,7 +33,7 @@ class MixITDataset(WSJ0Dataset):
     def __getitem__(self, idx: int):
         mixture, sources, key = super().__getitem__(idx)
         n = sources.shape[0]
-        perm = self._rng.permutation(n)
+        perm = np.random.default_rng((self._seed, self._epoch, idx, 1)).permutation(n)
         half = n // 2
         mom1 = sources[perm[:half]].sum(0)
         mom2 = sources[perm[half:]].sum(0)
@@ -60,7 +60,7 @@ class AudioSlientDataset(WSJ0Dataset):
         n_pad = int(self.sample_rate * self.slient)
         if self.gauss:
             scale = 10.0 ** (self.snr_db / 20.0)
-            pad = (self._rng.normal(size=n_pad) * scale).astype(np.float32)
+            pad = (np.random.default_rng((self._seed, self._epoch, idx, 2)).normal(size=n_pad) * scale).astype(np.float32)
         else:
             pad = np.zeros(n_pad, np.float32)
         mixture = np.concatenate([pad, mixture])
@@ -99,7 +99,7 @@ class AVSpeechDataset(ManifestDataset):
         return self.video_pipeline(data)
 
     def __getitem__(self, idx: int):
-        start, stop = self._window(self.mix[idx][1])
+        start, stop = self._window(self.mix[idx][1], idx)
         frame_start = int(start / self.sample_rate * self.fps)
         mixture = read_wav(self.mix[idx][0], start, stop)
         key = self.mix[idx][0].split("/")[-1]

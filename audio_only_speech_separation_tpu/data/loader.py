@@ -51,6 +51,11 @@ class DataLoader:
     def set_epoch(self, epoch: int):
         """Reseed shuffling per epoch (deterministic across restarts)."""
         self.epoch = epoch
+        # datasets with per-(epoch, item) RNG streams (random crops) follow
+        # the same clock, keeping content independent of iteration order
+        # and host layout
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)

@@ -26,7 +26,7 @@ class WSJ0Dataset(ManifestDataset):
         super().__init__(json_dir, n_src=n_src, **kw)
 
     def __getitem__(self, idx: int):
-        start, stop = self._window(self.mix[idx][1])
+        start, stop = self._window(self.mix[idx][1], idx)
         mixture = _read(self.mix[idx][0], start, stop)
         key = self.mix[idx][0].split("/")[-1]
         srcs = []

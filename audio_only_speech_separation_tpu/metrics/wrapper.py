@@ -18,9 +18,12 @@ from .sdr import sdr_pit
 
 
 class MetricsTracker:
-    """``compute_pesq=True`` adds a best-permutation-averaged PESQ column
-    (metrics/pesq.py — P.862-structure estimator; requires ``sample_rate``
-    of 8 or 16 kHz).  Off by default: PESQ is ~10× costlier than SDR."""
+    """``compute_pesq=True`` adds a best-permutation-averaged ``pesq_est``
+    column (metrics/pesq.py — a P.862-*structure* estimator, NOT the ITU
+    conformant implementation; the column is named ``pesq_est`` so scores
+    are never confused with published PESQ numbers).  Requires
+    ``sample_rate`` of 8 or 16 kHz.  Off by default: ~10× costlier than
+    SDR."""
 
     def __init__(self, save_file: str = "", compute_pesq: bool = False,
                  sample_rate: int = 8000):
@@ -33,7 +36,7 @@ class MetricsTracker:
         self.sample_rate = sample_rate
         csv_columns = ["snt_id", "sdr", "sdr_i", "si-snr", "si-snr_i"]
         if compute_pesq:
-            csv_columns.append("pesq")
+            csv_columns.append("pesq_est")
         self.results_csv = open(save_file, "w")
         self.writer = csv.DictWriter(self.results_csv, fieldnames=csv_columns)
         self.writer.writeheader()
@@ -80,7 +83,7 @@ class MetricsTracker:
                 )
                 for perm in itertools.permutations(range(n_src))
             )
-            row["pesq"] = best
+            row["pesq_est"] = best
             self.all_pesq.append(best)
         self.writer.writerow(row)
         self.all_sdrs.append(sdr)
@@ -104,7 +107,7 @@ class MetricsTracker:
                 "si-snr_i": fn(self.all_sisnrs_i),
             }
             if self.compute_pesq and self.all_pesq:
-                row["pesq"] = fn(self.all_pesq)
+                row["pesq_est"] = fn(self.all_pesq)
             self.writer.writerow(row)
         self.results_csv.close()
 

@@ -7,6 +7,7 @@ from .mesh import (
     shard_batch,
     replicate,
     local_shard_info,
+    local_mesh,
 )
 from .sequence import maybe_shard, shard_chunks
 
@@ -17,6 +18,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "local_shard_info",
+    "local_mesh",
     "maybe_shard",
     "shard_chunks",
 ]

@@ -51,15 +51,47 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = "dp"):
-    """Device-put a (possibly nested) numpy batch with batch-axis sharding."""
+    """Device-put a (possibly nested) numpy batch with batch-axis sharding.
+
+    Multi-host: each process passes its LOCAL batch shard; the result is a
+    global jax.Array over the full mesh (the DCN analog of what torch DDP
+    got implicitly from per-rank DataLoaders, reference audio_train.py:126).
+    """
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(tree: Any, mesh: Mesh):
-    """Replicate a parameter/optimizer pytree across the mesh."""
+    """Replicate a parameter/optimizer pytree across the mesh.
+
+    Multi-host: every process must hold identical values (same-seed init or
+    a loaded checkpoint); the global replicated array is assembled from the
+    process-local copies."""
     sharding = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            tree,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def local_mesh(axis_names: Sequence[str] = ("dp",)) -> Mesh:
+    """A mesh over this process's addressable devices only — used for eval
+    under multi-host DP, where per-host loader shards differ in batch count
+    and global collectives inside the loop would deadlock."""
+    devices = jax.local_devices()
+    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 
 def local_shard_info() -> tuple[int, int]:

@@ -28,12 +28,19 @@ import jax
 from jax.sharding import PartitionSpec as P
 
 
+# Probe the mesh-introspection API once at import: if a JAX upgrade removes
+# it, fail loudly instead of silently turning every sp constraint into a
+# no-op (sequence parallelism would quietly disable itself otherwise).
+if not hasattr(jax.sharding, "get_abstract_mesh"):  # pragma: no cover
+    raise ImportError(
+        "jax.sharding.get_abstract_mesh is unavailable in this JAX version; "
+        "parallel.sequence needs a replacement mesh-introspection API"
+    )
+
+
 def current_mesh_axes() -> tuple:
     """Axis names of the mesh active via ``jax.set_mesh`` (empty if none)."""
-    try:
-        return tuple(jax.sharding.get_abstract_mesh().axis_names)
-    except Exception:
-        return ()
+    return tuple(jax.sharding.get_abstract_mesh().axis_names)
 
 
 def maybe_shard(x, spec: P):

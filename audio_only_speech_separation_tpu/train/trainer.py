@@ -30,7 +30,7 @@ import numpy as np
 import optax
 
 from ..models import serialize, save_serialized
-from ..parallel import make_mesh, replicate, shard_batch
+from ..parallel import local_mesh, make_mesh, replicate, shard_batch
 from .checkpoints import CheckpointManager
 from .loggers import BaseLogger, make_default_logger
 from .optimizers import set_learning_rate
@@ -102,6 +102,13 @@ class Trainer:
             k: v for k, v in ck.items() if k in (
                 "monitor", "mode", "save_top_k", "save_last", "filename")
         })
+        # multi-host DP: process 0 owns checkpoints/logs (the explicit
+        # analog of Lightning's @rank_zero_only, reference
+        # utils/lightning_utils.py:19-21); eval runs on a host-local mesh
+        # because per-host loader shards differ in batch count and global
+        # collectives inside the eval loop would deadlock
+        self.is_main = jax.process_index() == 0
+        self.eval_mesh = local_mesh() if jax.process_count() > 1 else self.mesh
         self.logger = logger or make_default_logger(
             logger_dir or os.path.join(exp_dir, "logs")
         )
@@ -164,15 +171,25 @@ class Trainer:
 
         return train_step, val_step
 
-    def _device_batch(self, np_batch):
+    def _device_batch(self, np_batch, for_eval: bool = False):
         mix, sources, _keys = np_batch
-        batch = (jnp.asarray(mix), jnp.asarray(sources))
+        mesh = self.eval_mesh if for_eval else self.mesh
+        batch = (np.asarray(mix), np.asarray(sources))
         # a tail batch (drop_last=False eval) may not divide the dp mesh:
         # place it replicated — every device computes it redundantly, but
         # the loss is exact and it's at most one batch per epoch
-        if len(mix) % self.mesh.devices.size != 0:
-            return replicate(batch, self.mesh)
-        return shard_batch(batch, self.mesh)
+        if len(mix) % mesh.devices.size != 0:
+            if for_eval and jax.process_count() > 1:
+                # host-local replication (replicate() would assemble a
+                # global array and deadlock on unequal shard sizes)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                s = NamedSharding(mesh, P())
+                return jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, s), batch
+                )
+            return replicate(batch, mesh)
+        return shard_batch(batch, mesh)
 
     def _eval_epoch(self, val_step, params, loader) -> float:
         """Batch-size-weighted mean loss over a loader.
@@ -181,20 +198,31 @@ class Trainer:
         one per batch.  With host-sharded eval loaders the per-host
         weighted sums are combined across processes, so the global mean
         is exact even when shards differ in size."""
+        if jax.process_count() > 1:
+            # host-local view of the (replicated) params: eval batches live
+            # on the local mesh, and jit rejects mixed-mesh inputs
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            s = NamedSharding(self.eval_mesh, P())
+            params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(np.asarray(x), s), params
+            )
         tot = None
         wsum = 0
         for b in loader:
             n = len(b[0])
-            loss = val_step(params, self._device_batch(b)) * n
+            loss = val_step(params, self._device_batch(b, for_eval=True)) * n
             tot = loss if tot is None else tot + loss
             wsum += n
-        if jax.process_count() > 1:  # pragma: no cover - multi-host only
+        if jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
             sums = multihost_utils.process_allgather(
-                jnp.asarray([float(tot), float(wsum)])
+                jnp.asarray(
+                    [float(tot) if tot is not None else 0.0, float(wsum)]
+                )
             )
-            return float(sums[:, 0].sum() / sums[:, 1].sum())
+            return float(sums[:, 0].sum() / max(sums[:, 1].sum(), 1.0))
         if tot is None:
             return float("nan")
         return float(tot) / wsum
@@ -279,43 +307,49 @@ class Trainer:
             if scheduler is not None and not isinstance(scheduler, NoamLR):
                 current_lr = scheduler.step(val_loss)
                 opt_state = set_learning_rate(opt_state, current_lr)
-            self.logger.log_scalar("train_loss", train_loss, epoch)
-            self.logger.log_scalar("val_loss", val_loss, epoch)
-            self.logger.log_scalar("val_pit_sisnr", -val_loss, epoch)
-            if test_loss is not None:
-                self.logger.log_scalar("test_loss", test_loss, epoch)
-                self.logger.log_scalar("test_pit_sisnr", -test_loss, epoch)
-            if current_lr is not None:
-                self.logger.log_scalar("learning_rate", current_lr, epoch)
+            if self.is_main:
+                self.logger.log_scalar("train_loss", train_loss, epoch)
+                self.logger.log_scalar("val_loss", val_loss, epoch)
+                self.logger.log_scalar("val_pit_sisnr", -val_loss, epoch)
+                if test_loss is not None:
+                    self.logger.log_scalar("test_loss", test_loss, epoch)
+                    self.logger.log_scalar("test_pit_sisnr", -test_loss, epoch)
+                if current_lr is not None:
+                    self.logger.log_scalar("learning_rate", current_lr, epoch)
             dt = time.time() - t0
-            print(
-                f"epoch {epoch}: train_loss={train_loss:.4f} val_loss={val_loss:.4f}"
-                + (f" test_loss={test_loss:.4f}" if test_loss is not None else "")
-                + (f" lr={current_lr:.2e}" if current_lr is not None else "")
-                + f" ({dt:.1f}s)"
-            )
+            if self.is_main:
+                print(
+                    f"epoch {epoch}: train_loss={train_loss:.4f} val_loss={val_loss:.4f}"
+                    + (f" test_loss={test_loss:.4f}" if test_loss is not None else "")
+                    + (f" lr={current_lr:.2e}" if current_lr is not None else "")
+                    + f" ({dt:.1f}s)"
+                )
 
-            # checkpoint + early stop
-            self.ckpt.save(
-                {
-                    "params": params,
-                    "opt_state": opt_state,
-                    "scheduler": scheduler.state_dict() if scheduler else None,
-                    "early_stop": self.early_stop.state_dict(),
-                    "config": getattr(system, "config", None),
-                },
-                epoch,
-                val_loss,
-            )
+            # checkpoint + early stop (process 0 owns the files; the stop
+            # decision derives from the globally-agreed val_loss, so every
+            # host stops on the same epoch)
+            if self.is_main:
+                self.ckpt.save(
+                    {
+                        "params": params,
+                        "opt_state": opt_state,
+                        "scheduler": scheduler.state_dict() if scheduler else None,
+                        "early_stop": self.early_stop.state_dict(),
+                        "config": getattr(system, "config", None),
+                    },
+                    epoch,
+                    val_loss,
+                )
             stop = self.early_stop.step(val_loss)
 
         # post-fit: portable best model (reference audio_train.py:139-148)
-        self.ckpt.write_best_k()
-        best = self.ckpt.load() if self.ckpt.best_k else None
-        if best is not None:
-            best_params = jax.tree_util.tree_map(jnp.asarray, best["params"])
-            conf = serialize(model, best_params)
-            save_serialized(conf, os.path.join(self.exp_dir, "best_model.pth"))
+        if self.is_main:
+            self.ckpt.write_best_k()
+            best = self.ckpt.load() if self.ckpt.best_k else None
+            if best is not None:
+                best_params = jax.tree_util.tree_map(jnp.asarray, best["params"])
+                conf = serialize(model, best_params)
+                save_serialized(conf, os.path.join(self.exp_dir, "best_model.pth"))
         self.logger.close()
         self.state = {"params": params, "opt_state": opt_state}
         return self.state

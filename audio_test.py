@@ -95,7 +95,9 @@ if __name__ == "__main__":
     parser.add_argument("--bucket-seconds", type=float, default=1.0)
     parser.add_argument(
         "--pesq", action="store_true",
-        help="add a PESQ column (P.862-structure estimator, 8/16 kHz only)",
+        help="add a pesq_est column (P.862-STRUCTURE estimator, 8/16 kHz "
+        "only; NOT ITU-conformant — do not compare against published PESQ "
+        "numbers)",
     )
     parser.add_argument("--batch-size", type=int, default=1)
     args = parser.parse_args()

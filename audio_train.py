@@ -132,7 +132,37 @@ def main(config):
     print_only(f"Training finished; artifacts in {exp_dir}")
 
 
+def maybe_init_distributed():
+    """Multi-host DP bootstrap — the explicit replacement for Lightning's
+    hidden DDP process-group init (reference audio_train.py:120-132).
+
+    Env-gated so single-host runs are untouched.  Set
+    ``JAX_COORDINATOR_ADDRESS`` (host:port of process 0) plus
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` to launch one process per
+    host; on TPU pods with cluster auto-detection the address alone
+    suffices.  Must run before any other JAX API touches the backend.
+    Checkpoints/logs are written by process 0 only — point ``exp_dir`` at a
+    shared filesystem if resume-after-preemption must work from any host.
+    """
+    import jax
+
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {"coordinator_address": addr}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    print_only(
+        f"Distributed: {jax.process_count()} processes, "
+        f"{jax.device_count()} global devices"
+    )
+
+
 if __name__ == "__main__":
+    maybe_init_distributed()
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--conf-dir",

@@ -23,6 +23,9 @@ from audio_only_speech_separation_tpu.models import (
 from audio_only_speech_separation_tpu.ops.dropout import DropPath
 
 
+pytestmark = pytest.mark.slow  # integration/parity: excluded from `make test-fast`
+
+
 def _build(model, x):
     params = model.init(jax.random.PRNGKey(0), x)
     return params

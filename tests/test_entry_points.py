@@ -10,6 +10,9 @@ import pytest
 import yaml
 
 
+pytestmark = pytest.mark.slow  # integration/parity: excluded from `make test-fast`
+
+
 @pytest.fixture
 def tiny_experiment(tmp_path):
     """Synthetic manifests + a tiny config; returns (conf_path, workdir)."""

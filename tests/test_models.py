@@ -26,6 +26,7 @@ TINY_TASNET = dict(
 )
 
 
+@pytest.mark.slow  # multi-second forward builds: excluded from `make test-fast`
 class TestTasNetFamily:
     @pytest.mark.parametrize("module", ["DPRNN", "DPTNet"])
     def test_dual_path_modules(self, module):
@@ -78,6 +79,7 @@ class TestConvTasNet:
         assert out.shape == (2, 2, 320)
 
 
+@pytest.mark.slow  # multi-second forward builds: excluded from `make test-fast`
 class TestBSRNN:
     def test_shape(self):
         model = M.BSRNN(win=256, stride=64, feature_dim=8, num_spks=2, num_repeat=1, sample_rate=8000)
@@ -93,6 +95,7 @@ class TestBSRNN:
         assert sum(bw16) == 129
 
 
+@pytest.mark.slow  # multi-second forward builds: excluded from `make test-fast`
 class TestSepformer:
     def test_shape(self):
         model = M.Sepformer(
@@ -111,6 +114,7 @@ class TestSepformer:
         assert out.shape == (1, 2, 800)
 
 
+@pytest.mark.slow  # multi-second forward builds: excluded from `make test-fast`
 class TestTDANet:
     def test_shape(self):
         model = M.TDANet(
@@ -121,6 +125,7 @@ class TestTDANet:
         assert out.shape == (1, 2, 1600)
 
 
+@pytest.mark.slow  # multi-second forward builds: excluded from `make test-fast`
 class TestAFRCNN:
     def test_shape(self):
         model = M.AFRCNN(
@@ -131,6 +136,7 @@ class TestAFRCNN:
         assert out.shape == (1, 2, 1600)
 
 
+@pytest.mark.slow  # multi-second forward builds: excluded from `make test-fast`
 class TestDPRNNTasNet:
     def test_shape(self):
         model = M.DPRNNTasNet(
@@ -141,6 +147,7 @@ class TestDPRNNTasNet:
         assert out.shape == (1, 2, 800)
 
 
+@pytest.mark.slow  # multi-second forward builds: excluded from `make test-fast`
 class TestSandglasset:
     def test_shape(self):
         model = M.Sandglasset(

@@ -96,5 +96,42 @@ def test_tracker_pesq_column(tmp_path):
     tracker(mix, np.stack([a, b]), np.stack([b, a]), "utt0")
     tracker.final()
     rows = (tmp_path / "m.csv").read_text().strip().splitlines()
-    assert rows[0].endswith("pesq")
+    assert rows[0].endswith("pesq_est")
     assert float(rows[1].split(",")[-1]) > 4.0
+
+
+def test_conformance_vs_itu_pesq_if_available():
+    """Gated cross-validation against the ITU-conformant `pesq` wheel
+    (mirrors the fast_bss_eval gate in test_metrics.py): self-skips in this
+    environment, pins the estimator the moment a reference implementation
+    is importable.  Checks (a) rank agreement across a degradation ladder
+    and (b) loose absolute agreement — pesq_est is a P.862-structure
+    estimator, not a bit-exact reimplementation."""
+    itu = None
+    try:
+        from pesq import pesq as itu  # pip package `pesq`
+    except ImportError:
+        try:
+            from pypesq import pesq as itu  # pip package `pypesq`
+        except ImportError:
+            pass
+    if itu is None:
+        pytest.skip("no ITU-conformant pesq implementation in environment")
+
+    sr = 16000
+    x = _speech_like(sr, 4.0, 0)
+    rng = np.random.default_rng(1)
+    noise = rng.normal(size=x.shape)
+    noise /= np.abs(noise).max()
+    ours, theirs = [], []
+    for snr_db in (40.0, 20.0, 10.0, 5.0, 0.0):
+        deg = x + noise * 10 ** (-snr_db / 20.0)
+        ours.append(pesq(x, deg, sr))
+        try:
+            theirs.append(float(itu(sr, x, deg, "wb")))  # `pesq` signature
+        except TypeError:
+            theirs.append(float(itu(x, deg, sr)))  # `pypesq` signature
+    # (a) strict rank agreement down the ladder
+    assert np.all(np.diff(ours) < 0) and np.all(np.diff(theirs) < 0)
+    # (b) loose absolute agreement (structure estimator, not conformant)
+    assert np.max(np.abs(np.asarray(ours) - np.asarray(theirs))) < 0.8

@@ -14,6 +14,9 @@ from audio_only_speech_separation_tpu.train import (
 from tests.test_train import FakeLoader, tiny_model
 
 
+pytestmark = pytest.mark.slow  # integration/parity: excluded from `make test-fast`
+
+
 class TestBF16Training:
     @pytest.mark.skipif(
         __import__("jax").default_backend() == "cpu",

@@ -15,6 +15,9 @@ torch = pytest.importorskip("torch")
 REFERENCE_PATH = "/root/reference"
 
 
+pytestmark = pytest.mark.slow  # integration/parity: excluded from `make test-fast`
+
+
 def _load_reference_models():
     if REFERENCE_PATH not in sys.path:
         sys.path.insert(0, REFERENCE_PATH)

@@ -11,6 +11,9 @@ torch = pytest.importorskip("torch")
 REFERENCE_PATH = "/root/reference"
 
 
+pytestmark = pytest.mark.slow  # integration/parity: excluded from `make test-fast`
+
+
 @pytest.fixture(scope="module")
 def ref_models():
     if REFERENCE_PATH not in sys.path:

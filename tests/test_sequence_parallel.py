@@ -23,9 +23,12 @@ from audio_only_speech_separation_tpu.parallel import (
     shard_chunks,
 )
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        len(jax.devices()) < 8, reason="needs the 8-device virtual CPU mesh"
+    ),
+    pytest.mark.slow,  # 8-device trainer integration: excluded from `make test-fast`
+]
 
 
 def _tasnet():

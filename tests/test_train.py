@@ -24,6 +24,9 @@ from audio_only_speech_separation_tpu.train import (
 )
 
 
+pytestmark = pytest.mark.slow  # integration/parity: excluded from `make test-fast`
+
+
 class FakeLoader:
     """Static synthetic batches implementing the loader protocol."""
 

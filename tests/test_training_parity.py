@@ -21,6 +21,9 @@ if not os.path.isdir("/root/reference"):  # pragma: no cover
     pytest.skip("reference not available", allow_module_level=True)
 
 
+pytestmark = pytest.mark.slow  # integration/parity: excluded from `make test-fast`
+
+
 @pytest.mark.parametrize("model_key", ["convtasnet", "dprnn"])
 def test_training_trajectory_parity(model_key):
     from train_parity import run

@@ -7,6 +7,11 @@ import numpy as np
 from audio_train_twostep import update_parameter
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # integration/parity: excluded from `make test-fast`
+
+
 class TestWarmStart:
     def test_copies_sm_prefixed_subtrees_only(self):
         import audio_only_speech_separation_tpu.models as M
