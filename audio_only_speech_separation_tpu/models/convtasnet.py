@@ -151,7 +151,7 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
         return model.apply(params, wav)
     if packed is None:
         packed = pack_convtasnet_tcn_params(params, model.R, model.X)
-    w1s, wss, vecs, wsbs, alphas, dils = packed
+    w1s, wsgs, vecs, cs, alphas, dils = packed
 
     p = params["params"] if "params" in params else params
     pb = jax.tree_util.tree_map(
@@ -182,7 +182,7 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
         {"params": pb["bn_norm"]}, enc
     )
     w = PointwiseConv(model.B, channels_last=True).apply({"params": pb["bn_conv"]}, w)
-    w = fused_tcn_separator(w, w1s, wss, vecs, wsbs, alphas, dils)
+    w = fused_tcn_separator(w, w1s, wsgs, vecs, cs, alphas, dils)
 
     m = PointwiseConv(model.N * model.num_spks, channels_last=True).apply(
         {"params": pb["mask_conv"]}, w

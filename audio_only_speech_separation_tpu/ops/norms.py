@@ -14,21 +14,30 @@ BatchNorm1d, which carries batch_stats like torch BatchNorm).
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
 def _moments(x, axes):
     # statistics in float32 even under bf16 compute (mixed-precision policy).
-    # Single-pass form (E[x²] − μ²): one traversal instead of two — the
-    # conv-pyramid models run ~12 gLNs per block, so the second pass is
-    # real HBM time.  Safe for normalized activations (μ ≈ 0, no
-    # catastrophic cancellation); clamped at 0 for the pathological case.
+    # Single-pass form: one HBM traversal instead of two — the conv-pyramid
+    # models run ~12 gLNs per block, so the second pass is real HBM time.
+    # Cancellation robustness: the naive E[x²] − μ² loses all precision when
+    # μ² ≫ var.  Shifted-data form (Chan et al.): var = E[(x−c)²] − (μ−c)²
+    # for any constant c; choosing c = one sampled element of x makes the
+    # cancellation ratio (μ−c)²/var ≈ O(1) irrespective of the data offset,
+    # while both reductions still read x in ONE fused pass (c is a broadcast
+    # slice, and ∂var/∂c = 0 analytically so gradients are unaffected).
     x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=axes, keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(jnp.square(x32), axis=axes, keepdims=True) - jnp.square(mean), 0.0
+    c = jax.lax.stop_gradient(
+        x32[tuple(slice(0, 1) if i in axes else slice(None) for i in range(x.ndim))]
     )
-    return mean, var
+    xc = x32 - c
+    mean_c = jnp.mean(xc, axis=axes, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(xc), axis=axes, keepdims=True) - jnp.square(mean_c), 0.0
+    )
+    return mean_c + c, var
 
 
 class GlobalLayerNorm(nn.Module):

@@ -1,27 +1,41 @@
 """Fused ConvTasNet TCN separator — one Pallas kernel for all R×X blocks.
 
-Why: the XLA version of the 24-block TCN is HBM-bandwidth-bound — every
-block round-trips ~8 activation tensors of [B, 512, T] through HBM
-(measured ~650 GB/s sustained, i.e. at the roof).  This kernel keeps the
-[T, 128] block input resident in VMEM for an entire sample and the [T, 512]
-hidden state in VMEM for an entire block, so HBM sees only: x once in,
-weights once per block, y once out — a ~100× traffic reduction for the
-separator body.
+Reference behavior being re-provided: the R×X dilated ``Conv1D_Block`` stack
+of ConvTasNet (`/root/reference/look2hear/models/convtasnet.py:28-116`,
+composed at :148-219).  The torch version launches ~8 cuDNN/elementwise
+kernels per block, round-tripping every [B, 512, T] activation through
+device memory.  Here the whole 24-block body is ONE kernel: the [T, 128]
+block input stays resident in VMEM for an entire sample and the [T, 512]
+hidden state never leaves VMEM at all, so HBM sees only x once in, weights
+once per block (double-buffered DMA), and y once out.
 
-Per grid step (= one batch sample), per block:
-  P1  h = PReLU(x @ W1 + b1)      tiles of [Tt, 128] @ [128, 512] (MXU),
-                                  accumulating Σh, Σh² for gLN-1
+Two passes per block (v2 design — measured 2.0× over the three-pass v1):
+
+  P1  apply the previous block's pending residual update to y (see below),
+      then h = PReLU(y @ W1 + b1) on [TILE, 128]·[128, 512] MXU tiles,
+      accumulating Σh, Σh² for gLN-1.
   --  gLN-1 is an affine per-channel map given the stats; it is FOLDED into
-      the depthwise weights (dw'ₖ = dwₖ·scale, bias' folds the shift), so
-      no normalization pass over h is needed
-  P2  h ← PReLU(dw'(h)) in place  3 shifted reads per tile, Σ, Σ² for gLN-2
-  P3  y += h @ (scale2⊙Ws) + bs'  gLN-2 is ALSO folded — into the sconv
-      weights (per-block [512,128] rescale + bias fold), so P3 is a pure
-      matmul + residual accumulate
+      the depthwise taps (dw'ₖ = dwₖ·scale, bias folds the shift), so no
+      normalization pass over h is ever materialized.
+  P2  v = PReLU(dw'(h)) from 3 statically shifted reads; accumulate gLN-2
+      stats; immediately matmul the RAW v into a pending accumulator
+      P = v @ (γ₂⊙Ws)  — gLN-2 is applied LATE, exploiting that the scalar
+      rstd₂ commutes with the matmul once γ₂ is folded into the weights:
 
-The kernel is VPU-bound, not MXU-bound, so boundary work is peeled: row
-masking (rows ≥ T) and the padding corrections only run in the statically
-known edge tiles; hot tiles carry no iota/select work.
+        norm₂(v) @ Ws = rstd₂ · (v @ (γ₂⊙Ws)) + (β₂ − μ₂·rstd₂·γ₂) @ Ws
+
+      so P2 needs neither the stats it is still computing nor a third pass;
+      the next block's P1 (or the epilogue) applies y += rstd₂·P + shift
+      while it has y in registers anyway.
+
+v1 ran a separate P3 (normalize-by-fold + matmul + residual) and therefore
+had to store v to VMEM and re-read it; eliminating that store/re-read and
+the whole third traversal halved kernel time (8.45 → 4.29 ms at the bench
+shape, B=8 × 2 s × 16 kHz).  A p2-in-bf16 variant was measured SLOWER
+(5.78 ms — conversion traffic beats the 1.34× packed-VPU gain); P2 stays
+f32.  The kernel is VPU/VMEM-traffic-bound, not MXU-bound, so boundary work
+is peeled: row masking (rows ≥ T) and padding corrections only run in the
+statically known edge tiles.
 
 Mosaic requires dynamically indexed VMEM loads to be tile-aligned, so the
 dilated depthwise conv loads the aligned mid tile plus two aligned 128-row
@@ -30,8 +44,8 @@ neighbor strips and builds the ±d shifts with STATIC in-register slices
 statistics are computed in f32; activations are stored bf16.
 
 Numerical contract matches models.convtasnet.Conv1DBlock (gLN, torch PReLU
-single-alpha, eps 1e-8) to bf16 tolerance — verified in
-tests/test_pallas_kernels.py against the XLA path.
+single-alpha, eps 1e-8) to bf16 tolerance — verified on-chip by
+scripts/validate_pallas.py (docs/PALLAS_VALIDATION.json).
 """
 
 from __future__ import annotations
@@ -48,8 +62,8 @@ from jax.experimental.pallas import tpu as pltpu
 PAD = 128  # halo ≥ max dilation (2^7 for X=8); also the alignment quantum
 TILE = 2048
 
-# vecs packing rows (f32 [nb, 16, 512]):
-_B1, _DWB, _G1, _BT1, _G2, _BT2, _DW0, _DW1, _DW2 = range(9)
+# vecs packing rows (f32 [nb, 8, 512]):
+_B1, _DWB, _G1, _BT1, _DW0, _DW1, _DW2 = range(7)
 
 
 def _kernel(
@@ -58,17 +72,17 @@ def _kernel(
     # inputs
     x_ref,  # VMEM [1, Tpad, 128] bf16 (zero-padded rows ≥ T)
     w1_hbm,  # ANY [nb, 128, 512] bf16
-    ws_hbm,  # ANY [nb, 512, 128] bf16
-    vec_hbm,  # ANY [nb, 16, 512] f32
-    wsb_ref,  # VMEM [nb, 128] f32
+    wsg_hbm,  # ANY [nb, 512, 128] bf16 (γ₂-scaled sconv weights)
+    vec_hbm,  # ANY [nb, 8, 512] f32
+    c_ref,  # VMEM [nb, 2, 128] f32: c0 = β₂@Ws + bs, c1 = γ₂@Ws
     # outputs
     y_ref,  # VMEM [1, Tpad, 128] bf16
     # scratch
     h_ref,  # VMEM [PAD + Tpad + PAD, 512] bf16
-    bk_ref,  # VMEM [PAD, 512] bf16 (original tail of the previous tile)
+    p_ref,  # VMEM [Tpad, 128] f32 (pending raw sconv output)
     w1_buf,  # VMEM [2, 128, 512] bf16 (double-buffered weight stage)
-    ws_buf,  # VMEM [2, 512, 128] bf16
-    vec_buf,  # VMEM [2, 16, 512] f32
+    wsg_buf,  # VMEM [2, 512, 128] bf16
+    vec_buf,  # VMEM [2, 8, 512] f32
     sem,  # DMA semaphores (2, 3)
     *,
     dilations: Sequence[int],
@@ -92,7 +106,7 @@ def _kernel(
     def start_weight_dma(b, slot):
         copies = (
             pltpu.make_async_copy(w1_hbm.at[b], w1_buf.at[slot], sem.at[slot, 0]),
-            pltpu.make_async_copy(ws_hbm.at[b], ws_buf.at[slot], sem.at[slot, 1]),
+            pltpu.make_async_copy(wsg_hbm.at[b], wsg_buf.at[slot], sem.at[slot, 1]),
             pltpu.make_async_copy(vec_hbm.at[b], vec_buf.at[slot], sem.at[slot, 2]),
         )
         for c in copies:
@@ -100,6 +114,9 @@ def _kernel(
         return copies
 
     inflight = {0: start_weight_dma(0, 0)}
+    rstd2_prev = jnp.float32(0.0)
+    shift_prev = jnp.zeros((128,), jnp.float32)
+
     for b, d in enumerate(dilations):
         slot = b % 2
         for c in inflight.pop(b):
@@ -107,22 +124,33 @@ def _kernel(
         if b + 1 < n_blocks:
             inflight[b + 1] = start_weight_dma(b + 1, (b + 1) % 2)
         w1_ref = w1_buf.at[slot]
-        ws_ref = ws_buf.at[slot]
+        wsg_ref = wsg_buf.at[slot]
         vec_ref = vec_buf.at[slot]
         a1 = a_ref[b, 0]
         a2 = a_ref[b, 1]
 
-        # ---- P1: h = prelu(y @ W1 + b1); accumulate gLN-1 stats -----------
-        # Row masking (zeroing rows ≥ T) is only live in the LAST tile —
-        # the boundary tile is peeled so the hot middle tiles run maskless
-        # (the kernel is VPU-bound; every elementwise op on a [TILE, 512]
-        # tile costs real time).
+        # ---- P1: y += rstd₂·P + shift (pending update), h = prelu(y@W1+b1)
+        # Row masking (zeroing rows ≥ T) is only live in the LAST tile — the
+        # boundary tile is peeled so the hot middle tiles run maskless.
         b1v = vec_ref[_B1, :]
 
         def p1_tile(i, masked: bool):
-            xt = y_ref[0, pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :]
+            sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
+            yt = y_ref[0, sl, :]
+            if b > 0:
+                ytf = (
+                    yt.astype(jnp.float32)
+                    + rstd2_prev * p_ref[sl, :]
+                    + shift_prev[None, :]
+                )
+                if masked:
+                    # the shift term is nonzero in the dead rows ≥ T
+                    r128 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 0) + i * TILE
+                    ytf = jnp.where(r128 < T, ytf, 0.0)
+                yt = ytf.astype(jnp.bfloat16)
+                y_ref[0, sl, :] = yt
             ht = jax.lax.dot_general(
-                xt, w1_ref[:],
+                yt, w1_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -165,25 +193,17 @@ def _kernel(
         corr_l = vec_ref[_DW0, :] * sh1
         corr_r = vec_ref[_DW2, :] * sh1
 
-        # ---- P2: h ← prelu(dw'(h)) IN PLACE; gLN-2 stats -------------------
-        # The ±d shifts come from aligned loads + static register slices; a
-        # 128-row backup strip preserves the previous tile's ORIGINAL tail
-        # (the in-place write destroys it) for the next tile's left halo.
-        # Boundary corrections/masks only run in the peeled edge tiles:
-        # corr_l lives in tile 0 (d ≤ PAD ≤ TILE); corr_r and the ≥T zero
-        # mask live in the last two tiles (T − d can fall one tile back).
+        # ---- P2 (+ fused former P3): v = prelu(dw'(h)); stats; P = v @ Wsg
+        # h is never overwritten (v flows straight into the dot), so halo
+        # reads see original data and no backup strip is needed.
         def p2_tile(i, first: bool, tail_corr: bool):
             # static flags: ``first`` applies corr_l (rows < d, tile 0 only
             # since d ≤ PAD ≤ TILE); ``tail_corr`` applies corr_r + the ≥T
             # zero mask (rows ≥ T−d).  Tiles with neither flag skip the
             # iota/select work entirely.
             mid = h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :]
-            if first:
-                prev = h_ref[pl.ds(pl.multiple_of(i * TILE, PAD), PAD), :]
-            else:
-                prev = bk_ref[:, :]
+            prev = h_ref[pl.ds(pl.multiple_of(i * TILE, PAD), PAD), :]
             nxt = h_ref[pl.ds(pl.multiple_of(PAD + (i + 1) * TILE, PAD), PAD), :]
-            bk_ref[:, :] = mid[TILE - PAD :, :]
             midf = mid.astype(jnp.float32)
             prevf = prev.astype(jnp.float32)
             nxtf = nxt.astype(jnp.float32)
@@ -200,9 +220,12 @@ def _kernel(
             t = jnp.where(t >= 0, t, a2 * t)
             if tail_corr:
                 t = jnp.where(rowv < T, t, 0.0)
-            h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :] = t.astype(
-                jnp.bfloat16
+            r = jax.lax.dot_general(
+                t.astype(jnp.bfloat16), wsg_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
+            p_ref[pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :] = r
             return jnp.sum(t), jnp.sum(t * t)
 
         # exact static extents: corr_l lives in rows < d (tile 0 only, since
@@ -228,41 +251,34 @@ def _kernel(
             ds_, dq = p2_tile(i, first=(i == 0), tail_corr=True)
             s2, q2 = s2 + ds_, q2 + dq
         mean2 = s2 * inv_count
-        rstd2 = jax.lax.rsqrt(q2 * inv_count - mean2 * mean2 + eps)
-        sc2 = vec_ref[_G2, :] * rstd2
-        sh2 = vec_ref[_BT2, :] - mean2 * sc2
+        rstd2_prev = jax.lax.rsqrt(q2 * inv_count - mean2 * mean2 + eps)
+        shift_prev = c_ref[b, 0, :] - mean2 * rstd2_prev * c_ref[b, 1, :]
 
-        # ---- P3: y += norm2(h) @ Ws + bs, with gLN-2 folded into Ws --------
-        # (h·sc2 + sh2) @ Ws = h @ (sc2⊙Ws) + (sh2 @ Ws); the per-block
-        # [512, 128] rescale + [128] bias fold replace a full elementwise
-        # normalization pass over every [TILE, 512] tile.
-        ws_f = ws_ref[:].astype(jnp.float32)  # [512, 128]
-        ws2 = (ws_f * sc2[:, None]).astype(jnp.bfloat16)
-        bias2 = wsb_ref[b, :] + jnp.sum(sh2[:, None] * ws_f, axis=0)
+    # ---- epilogue: apply the last block's pending update -------------------
+    def epi_tile(i, masked: bool):
+        sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
+        ytf = (
+            y_ref[0, sl, :].astype(jnp.float32)
+            + rstd2_prev * p_ref[sl, :]
+            + shift_prev[None, :]
+        )
+        if masked:
+            r128 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 0) + i * TILE
+            ytf = jnp.where(r128 < T, ytf, 0.0)
+        y_ref[0, sl, :] = ytf.astype(jnp.bfloat16)
+        return 0
 
-        def p3_body(i, _):
-            td = h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :]
-            r = jax.lax.dot_general(
-                td, ws2,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            r = r + bias2[None, :]
-            sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
-            yt = y_ref[0, sl, :]
-            y_ref[0, sl, :] = (yt.astype(jnp.float32) + r).astype(jnp.bfloat16)
-            return 0
-
-        jax.lax.fori_loop(0, n_tiles, p3_body, 0)
+    jax.lax.fori_loop(0, n_tiles - 1, lambda i, _: epi_tile(i, False), 0)
+    epi_tile(n_tiles - 1, True)
 
 
 @functools.partial(jax.jit, static_argnames=("dilations", "T_valid"))
 def fused_tcn_separator(
     x: jnp.ndarray,  # [B, T, 128] bf16 (channels-last)
     w1s: jnp.ndarray,  # [nb, 128, 512] bf16
-    wss: jnp.ndarray,  # [nb, 512, 128] bf16
-    vecs: jnp.ndarray,  # [nb, 16, 512] f32 (packed per-block vectors)
-    wsbs: jnp.ndarray,  # [nb, 128] f32
+    wsgs: jnp.ndarray,  # [nb, 512, 128] bf16 (γ₂-scaled sconv weights)
+    vecs: jnp.ndarray,  # [nb, 8, 512] f32 (packed per-block vectors)
+    cs: jnp.ndarray,  # [nb, 2, 128] f32 (delayed-norm constants)
     alphas: jnp.ndarray,  # [nb, 2] f32
     dilations: Sequence[int],
     T_valid: int | None = None,
@@ -292,10 +308,10 @@ def fused_tcn_separator(
         ),
         scratch_shapes=[
             pltpu.VMEM((PAD + Tpad + PAD, 512), jnp.bfloat16),
-            pltpu.VMEM((PAD, 512), jnp.bfloat16),
+            pltpu.VMEM((Tpad, 128), jnp.float32),
             pltpu.VMEM((2, 128, 512), jnp.bfloat16),
             pltpu.VMEM((2, 512, 128), jnp.bfloat16),
-            pltpu.VMEM((2, 16, 512), jnp.float32),
+            pltpu.VMEM((2, 8, 512), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
@@ -308,40 +324,46 @@ def fused_tcn_separator(
             # the 16 MB default; v5e has VMEM headroom beyond that
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(alphas, x.astype(jnp.bfloat16), w1s, wss, vecs, wsbs)
+    )(alphas, x.astype(jnp.bfloat16), w1s, wsgs, vecs, cs)
     return y[:, :T, :]
 
 
 def pack_convtasnet_tcn_params(params, R: int, X: int):
     """Extract + pack the tcn_{r}_{i} params from a ConvTasNet param tree
-    into the stacked arrays the fused kernel consumes."""
+    into the stacked arrays the fused kernel consumes.  The delayed-norm
+    constants (γ₂⊙Ws, β₂@Ws + bs, γ₂@Ws) are folded here, in f64, once."""
     p = params["params"] if "params" in params else params
-    w1s, wss, vecs, wsbs, alphas, dils = [], [], [], [], [], []
+    w1s, wsgs, vecs, cs, alphas, dils = [], [], [], [], [], []
     for r in range(R):
         for i in range(X):
             blk = p[f"tcn_{r}_{i}"]
             w1s.append(np.asarray(blk["conv1x1"]["kernel"]))  # [128, 512]
-            wss.append(np.asarray(blk["sconv"]["kernel"]))  # [512, 128]
-            v = np.zeros((16, 512), np.float32)
+            ws = np.asarray(blk["sconv"]["kernel"], np.float64)  # [512, 128]
+            g2 = np.asarray(blk["norm2"]["gamma"], np.float64)
+            b2 = np.asarray(blk["norm2"]["beta"], np.float64)
+            bs = np.asarray(blk["sconv"]["bias"], np.float64)
+            wsgs.append((ws * g2[:, None]).astype(np.float32))
+            c = np.zeros((2, 128), np.float32)
+            c[0] = (b2 @ ws + bs).astype(np.float32)
+            c[1] = (g2 @ ws).astype(np.float32)
+            cs.append(c)
+            v = np.zeros((8, 512), np.float32)
             v[_B1] = np.asarray(blk["conv1x1"]["bias"])
             v[_DWB] = np.asarray(blk["dwconv"]["Conv_0"]["bias"])
             v[_G1] = np.asarray(blk["norm1"]["gamma"])
             v[_BT1] = np.asarray(blk["norm1"]["beta"])
-            v[_G2] = np.asarray(blk["norm2"]["gamma"])
-            v[_BT2] = np.asarray(blk["norm2"]["beta"])
             dw = np.asarray(blk["dwconv"]["Conv_0"]["kernel"])  # [3, 1, 512]
             v[_DW0], v[_DW1], v[_DW2] = dw[0, 0], dw[1, 0], dw[2, 0]
             vecs.append(v)
-            wsbs.append(np.asarray(blk["sconv"]["bias"]))
             alphas.append(
                 [float(blk["act1"]["alpha"][0]), float(blk["act2"]["alpha"][0])]
             )
             dils.append(2**i)
     return (
         jnp.asarray(np.stack(w1s), jnp.bfloat16),
-        jnp.asarray(np.stack(wss), jnp.bfloat16),
+        jnp.asarray(np.stack(wsgs), jnp.bfloat16),
         jnp.asarray(np.stack(vecs), jnp.float32),
-        jnp.asarray(np.stack(wsbs), jnp.float32),
+        jnp.asarray(np.stack(cs), jnp.float32),
         jnp.asarray(np.asarray(alphas, np.float32)),
         tuple(dils),
     )

@@ -43,6 +43,46 @@ from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import (
 
 A100_EST = 1000.0  # audio-sec/sec/chip, analytic estimate (see module docstring)
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def ensure_kernel_validation():
+    """Refuse to benchmark unvalidated kernels (round-2 verdict weak #4).
+
+    docs/PALLAS_VALIDATION.json embeds sha256 hashes of every ops/pallas
+    source; if they don't match the tree, re-run the on-chip validator
+    before the headline.  A failed or still-stale validation aborts the
+    bench rather than reporting a number for unproven kernel math.
+    """
+    import subprocess
+
+    from audio_only_speech_separation_tpu.utils.kernel_hashes import (
+        validation_is_fresh,
+    )
+
+    path = os.path.join(_REPO, "docs", "PALLAS_VALIDATION.json")
+
+    def fresh():
+        try:
+            with open(path) as f:
+                return validation_is_fresh(json.load(f))
+        except (OSError, ValueError):
+            return False
+
+    if fresh():
+        return
+    print("PALLAS_VALIDATION.json stale; revalidating kernels...", flush=True)
+    subprocess.run(
+        ["python", os.path.join(_REPO, "scripts", "validate_pallas.py"),
+         "--quick", "--out", path],
+        check=False, cwd=_REPO, stdout=subprocess.DEVNULL,
+    )
+    if not fresh():
+        raise SystemExit(
+            "kernel validation is stale or failing; run "
+            "scripts/validate_pallas.py and commit docs/PALLAS_VALIDATION.json"
+        )
+
 BATCH = 8
 SECONDS = 2.0
 SAMPLE_RATE = 16000
@@ -52,6 +92,7 @@ ITERS = 100  # the device→host scalar fetch costs ~30-70 ms through the
 
 
 def main():
+    ensure_kernel_validation()
     model = ConvTasNet(
         N=512, L=16, B=128, H=512, P=3, X=8, R=3,
         norm="gLN", num_spks=3, activate="relu", causal=False,

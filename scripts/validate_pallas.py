@@ -73,9 +73,9 @@ def validate_tcn():
         )
         wb = blk.apply(pb, wb)
     ref_bf16 = np.asarray(wb.astype(jnp.float32))
-    w1s, wss, vecs, wsbs, alphas, dils = pack_convtasnet_tcn_params(params, R, X)
+    w1s, wsgs, vecs, cs, alphas, dils = pack_convtasnet_tcn_params(params, R, X)
     x_cl = jnp.asarray(np.swapaxes(x, 1, 2))
-    y = fused_tcn_separator(x_cl.astype(jnp.bfloat16), w1s, wss, vecs, wsbs, alphas, dils)
+    y = fused_tcn_separator(x_cl.astype(jnp.bfloat16), w1s, wsgs, vecs, cs, alphas, dils)
     got = np.swapaxes(np.asarray(y.astype(jnp.float32)), 1, 2)
 
     T2 = 1500
@@ -86,7 +86,7 @@ def validate_tcn():
     ref2 = np.asarray(w2)
     y2 = fused_tcn_separator(
         jnp.asarray(np.swapaxes(x2, 1, 2)).astype(jnp.bfloat16),
-        w1s, wss, vecs, wsbs, alphas, dils,
+        w1s, wsgs, vecs, cs, alphas, dils,
     )
     got2 = np.swapaxes(np.asarray(y2.astype(jnp.float32)), 1, 2)
     out = {
@@ -235,9 +235,14 @@ def main():
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
+    from audio_only_speech_separation_tpu.utils.kernel_hashes import (
+        kernel_source_hashes,
+    )
+
     report = {
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
+        "kernel_source_hashes": kernel_source_hashes(),
         "tcn_kernel": validate_tcn(),
         "attention_kernel": validate_attention(),
         "bilstm_kernel": validate_bilstm(),

@@ -55,3 +55,58 @@ class TestBilstmGate:
 
     def test_unaligned_hidden_stays_on_scan(self):
         assert not bilstm_eligible(251, 64, 96, jnp.bfloat16, backend="tpu")
+
+
+class TestValidationFreshness:
+    """bench.py refuses its headline unless PALLAS_VALIDATION.json passed on
+    the current kernel sources (hash binding, round-2 verdict weak #4)."""
+
+    def test_hashes_cover_all_kernel_sources(self):
+        from audio_only_speech_separation_tpu.utils.kernel_hashes import (
+            kernel_source_hashes,
+        )
+
+        h = kernel_source_hashes()
+        assert {"attention.py", "convtasnet_block.py", "lstm.py"} <= set(h)
+        assert all(len(v) == 64 for v in h.values())
+
+    def test_fresh_report_accepted(self):
+        from audio_only_speech_separation_tpu.utils.kernel_hashes import (
+            kernel_source_hashes,
+            validation_is_fresh,
+        )
+
+        assert validation_is_fresh(
+            {"ok": True, "kernel_source_hashes": kernel_source_hashes()}
+        )
+
+    def test_stale_or_failed_report_rejected(self):
+        from audio_only_speech_separation_tpu.utils.kernel_hashes import (
+            kernel_source_hashes,
+            validation_is_fresh,
+        )
+
+        good = kernel_source_hashes()
+        assert not validation_is_fresh({"ok": False, "kernel_source_hashes": good})
+        doctored = dict(good, **{"lstm.py": "0" * 64})
+        assert not validation_is_fresh({"ok": True, "kernel_source_hashes": doctored})
+        assert not validation_is_fresh({"ok": True})
+
+    def test_committed_artifact_is_fresh(self):
+        # A kernel edit without revalidation must fail CI, not just bench.
+        import json
+        import os
+
+        from audio_only_speech_separation_tpu.utils.kernel_hashes import (
+            validation_is_fresh,
+        )
+
+        path = os.path.join(
+            os.path.dirname(__file__), "..", "docs", "PALLAS_VALIDATION.json"
+        )
+        with open(path) as f:
+            report = json.load(f)
+        assert validation_is_fresh(report), (
+            "docs/PALLAS_VALIDATION.json is stale w.r.t. ops/pallas sources; "
+            "re-run scripts/validate_pallas.py on the TPU host"
+        )

@@ -119,6 +119,23 @@ class TestNorms:
         np.testing.assert_allclose(y.reshape(4, -1).mean(1), 0.0, atol=1e-5)
         np.testing.assert_allclose(y.reshape(4, -1).std(1), 1.0, atol=1e-3)
 
+    def test_gln_large_offset_robust(self):
+        # shifted-data single-pass variance (advisor r2 #3): the naive
+        # E[x²]−μ² form collapses when μ² ≫ var (offset 1e3, std 1e-2 →
+        # cancellation ratio 1e10); the shifted form must still normalize.
+        x = jnp.asarray(
+            1000.0 + np.random.default_rng(7).normal(0, 1e-2, (2, 16, 400)),
+            jnp.float32,
+        )
+        m = GlobalLayerNorm(channels=16)
+        params = m.init(jax.random.PRNGKey(0), x)
+        y = np.asarray(m.apply(params, x))
+        # std is the sharp check: the naive form collapses var to 0 here,
+        # making std ≈ x/√eps ~ 1e5.  The mean carries inherent f32 input
+        # quantization (≈1e-4 absolute at offset 1e3 → ≈1e-2 of std).
+        np.testing.assert_allclose(y.reshape(2, -1).mean(1), 0.0, atol=3e-2)
+        np.testing.assert_allclose(y.reshape(2, -1).std(1), 1.0, atol=1e-2)
+
     def test_frame_ln_per_frame(self):
         x = jnp.asarray(np.random.default_rng(6).normal(0, 5, (2, 32, 10)), jnp.float32)
         m = FrameLayerNorm(channels=32)

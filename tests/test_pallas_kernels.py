@@ -48,10 +48,10 @@ class TestFusedTCN:
         )
 
         x, params, ref = build_chain(rng)
-        w1s, wss, vecs, wsbs, alphas, dils = pack_convtasnet_tcn_params(params, 1, 4)
+        w1s, wsgs, vecs, cs, alphas, dils = pack_convtasnet_tcn_params(params, 1, 4)
         y = fused_tcn_separator(
             jnp.asarray(np.swapaxes(x, 1, 2)).astype(jnp.bfloat16),
-            w1s, wss, vecs, wsbs, alphas, dils,
+            w1s, wsgs, vecs, cs, alphas, dils,
         )
         got = np.swapaxes(np.asarray(y.astype(jnp.float32)), 1, 2)
         err = np.abs(got - ref)
@@ -67,10 +67,10 @@ class TestFusedTCN:
         )
 
         x, params, ref = build_chain(rng, T=1500, B=1)
-        w1s, wss, vecs, wsbs, alphas, dils = pack_convtasnet_tcn_params(params, 1, 4)
+        w1s, wsgs, vecs, cs, alphas, dils = pack_convtasnet_tcn_params(params, 1, 4)
         y = fused_tcn_separator(
             jnp.asarray(np.swapaxes(x, 1, 2)).astype(jnp.bfloat16),
-            w1s, wss, vecs, wsbs, alphas, dils,
+            w1s, wsgs, vecs, cs, alphas, dils,
         )
         got = np.swapaxes(np.asarray(y.astype(jnp.float32)), 1, 2)
         assert got.shape == ref.shape
