@@ -178,10 +178,31 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)  # [B, T', N]
     times = enc.shape[1]
-    w = GlobalLayerNorm(model.N, channels_last=True).apply(
-        {"params": pb["bn_norm"]}, enc
+    # bottleneck gLN folded into the 1×1 conv (delayed normalization — the
+    # per-sample scalar rstd commutes with the matmul once γ is folded into
+    # the weights), so the normalized [B, T', N] intermediate is never
+    # materialized:  norm(e)@W + b = rstd·(e@(γ⊙W)) + (β−μ·rstd·γ)@W + b
+    e32 = enc.astype(jnp.float32)
+    mu = jnp.mean(e32, axis=(1, 2), keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(e32), axis=(1, 2), keepdims=True) - jnp.square(mu), 0.0
     )
-    w = PointwiseConv(model.B, channels_last=True).apply({"params": pb["bn_conv"]}, w)
+    rstd = jax.lax.rsqrt(var + 1e-8)  # [B, 1, 1]
+    g32 = p["bn_norm"]["gamma"].astype(jnp.float32)
+    b32 = p["bn_norm"]["beta"].astype(jnp.float32)
+    wbn32 = p["bn_conv"]["kernel"].astype(jnp.float32)  # [N, B]
+    wg = (g32[:, None] * wbn32).astype(jnp.bfloat16)
+    sh = b32[None, None, :] - mu * rstd * g32[None, None, :]  # [B, 1, N]
+    shift = jnp.einsum("bxc,cd->bxd", sh, wbn32) + p["bn_conv"]["bias"].astype(
+        jnp.float32
+    )
+    w = (
+        rstd
+        * jnp.einsum(
+            "btc,cd->btd", enc, wg, preferred_element_type=jnp.float32
+        )
+        + shift
+    ).astype(enc.dtype)
     w = fused_tcn_separator(w, w1s, wsgs, vecs, cs, alphas, dils)
 
     m = PointwiseConv(model.N * model.num_spks, channels_last=True).apply(
