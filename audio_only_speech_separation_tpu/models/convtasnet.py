@@ -123,26 +123,26 @@ class ConvTasNet(BaseModel):
 
 
 def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
-    """bf16 inference forward using the fused Pallas TCN separator.
+    """bf16 inference forward: the WHOLE separator — encoder matmul,
+    bottleneck gLN+1×1, the R×X Conv1DBlock body, mask head, mask×enc, and
+    the decoder synthesis matmul — runs in ONE Pallas kernel (see
+    ops/pallas/convtasnet_block.py).  XLA only frames the padded signal and
+    overlap-adds the returned decoder frames, so HBM sees the [B, T', L]
+    frames once in and the [B, spk, T', L] masked frames once out.  Only
+    the standard config shape (N=512, B=128, H=512, P=3) is supported;
+    anything else falls back to ``model.apply``.
 
-    Encoder/bottleneck/mask/decoder run in XLA; the R×X Conv1DBlock body —
-    the bandwidth-bound bulk of the model — runs in ONE Pallas kernel (see
-    ops/pallas/convtasnet_block.py).  Only the standard config shape
-    (B=128, H=512, P=3) is supported; anything else falls back to
-    ``model.apply``.
-
-    ``packed`` (from ``pack_fused_params``) can be precomputed once to avoid
-    re-packing weights per call.
+    ``packed`` (from ``pack_convtasnet_full_params``) can be precomputed
+    once to avoid re-packing weights per call.
     """
-    import jax
-
     from ..ops.pallas.convtasnet_block import (
-        fused_tcn_separator,
-        pack_convtasnet_tcn_params,
+        fused_convtasnet_separator,
+        pack_convtasnet_full_params,
     )
 
     if not (
-        model.B == 128
+        model.N == 512
+        and model.B == 128
         and model.H == 512
         and model.P == 3
         and not model.causal
@@ -150,13 +150,10 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
     ):
         return model.apply(params, wav)
     if packed is None:
-        packed = pack_convtasnet_tcn_params(params, model.R, model.X)
-    w1s, wsgs, vecs, cs, alphas, dils = packed
-
-    p = params["params"] if "params" in params else params
-    pb = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, p
-    )
+        packed = pack_convtasnet_full_params(
+            params, model.R, model.X, model.num_spks
+        )
+    we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, dils = packed
 
     from ..ops.conv import frame_signal, overlap_add
 
@@ -170,51 +167,13 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
         x = jnp.pad(x, ((0, 0), (0, rest)))
     x = jnp.pad(x, ((0, 0), (win - pad_stride, win - pad_stride)))
 
-    # the whole XLA section runs channels-last, feeding the kernel's
-    # [B, T', 128] layout directly — no relayout anywhere
     frames = frame_signal(x, win, fb_stride)  # [B, T', win]
-    enc = jnp.einsum(
-        "bnw,wc->bnc", frames, pb["encoder"]["kernel"],
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)  # [B, T', N]
-    times = enc.shape[1]
-    # bottleneck gLN folded into the 1×1 conv (delayed normalization — the
-    # per-sample scalar rstd commutes with the matmul once γ is folded into
-    # the weights), so the normalized [B, T', N] intermediate is never
-    # materialized:  norm(e)@W + b = rstd·(e@(γ⊙W)) + (β−μ·rstd·γ)@W + b
-    e32 = enc.astype(jnp.float32)
-    mu = jnp.mean(e32, axis=(1, 2), keepdims=True)
-    var = jnp.maximum(
-        jnp.mean(jnp.square(e32), axis=(1, 2), keepdims=True) - jnp.square(mu), 0.0
-    )
-    rstd = jax.lax.rsqrt(var + 1e-8)  # [B, 1, 1]
-    g32 = p["bn_norm"]["gamma"].astype(jnp.float32)
-    b32 = p["bn_norm"]["beta"].astype(jnp.float32)
-    wbn32 = p["bn_conv"]["kernel"].astype(jnp.float32)  # [N, B]
-    wg = (g32[:, None] * wbn32).astype(jnp.bfloat16)
-    sh = b32[None, None, :] - mu * rstd * g32[None, None, :]  # [B, 1, N]
-    shift = jnp.einsum("bxc,cd->bxd", sh, wbn32) + p["bn_conv"]["bias"].astype(
-        jnp.float32
-    )
-    w = (
-        rstd
-        * jnp.einsum(
-            "btc,cd->btd", enc, wg, preferred_element_type=jnp.float32
-        )
-        + shift
-    ).astype(enc.dtype)
-    w = fused_tcn_separator(w, w1s, wsgs, vecs, cs, alphas, dils)
-
-    m = PointwiseConv(model.N * model.num_spks, channels_last=True).apply(
-        {"params": pb["mask_conv"]}, w
-    )  # [B, T', spk·N]
-    m = nn.relu(m) if model.activate == "relu" else jax.nn.sigmoid(m)
-    d = enc[:, :, None, :] * m.reshape(Bsz, times, model.num_spks, model.N)
-    # decoder synthesis filterbank on channels-last masked features
-    dec_frames = jnp.einsum(
-        "btsc,cw->bstw", d, pb["decoder"]["kernel"].astype(d.dtype),
-        preferred_element_type=jnp.float32,
-    ).astype(d.dtype)  # [B, spk, T', win]
+    times = frames.shape[1]
+    dec_frames = fused_convtasnet_separator(
+        frames, we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd,
+        dilations=dils, nspk=model.num_spks,
+        sigmoid=model.activate == "sigmoid",
+    )  # [B, spk, T', win]
     s = overlap_add(
         dec_frames.reshape(Bsz * model.num_spks, times, win), fb_stride
     )

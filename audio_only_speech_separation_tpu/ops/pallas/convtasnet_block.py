@@ -68,40 +68,67 @@ _B1, _DWB, _G1, _BT1, _DW0, _DW1, _DW2 = range(7)
 
 def _kernel(
     # scalar prefetch
-    a_ref,  # SMEM [nb, 2] f32: prelu alphas (a1, a2)
-    # inputs
-    x_ref,  # VMEM [1, Tpad, 128] bf16 (zero-padded rows ≥ T)
-    w1_hbm,  # ANY [nb, 128, 512] bf16
-    wsg_hbm,  # ANY [nb, 512, 128] bf16 (γ₂-scaled sconv weights)
-    vec_hbm,  # ANY [nb, 8, 512] f32
-    c_ref,  # VMEM [nb, 2, 128] f32: c0 = β₂@Ws + bs, c1 = γ₂@Ws
-    # outputs
-    y_ref,  # VMEM [1, Tpad, 128] bf16
-    # scratch
-    h_ref,  # VMEM [PAD + Tpad + PAD, 512] bf16
-    p_ref,  # VMEM [Tpad, 128] f32 (pending raw sconv output)
-    w1_buf,  # VMEM [2, 128, 512] bf16 (double-buffered weight stage)
-    wsg_buf,  # VMEM [2, 512, 128] bf16
-    vec_buf,  # VMEM [2, 8, 512] f32
-    sem,  # DMA semaphores (2, 3)
-    *,
+    a_ref,  # SMEM [nb(+1), 2] f32: prelu alphas (a1, a2)
+    # positional refs; layout depends on the static ``nspk`` flag:
+    #
+    #   TCN-only mode (nspk == 0, fused_tcn_separator):
+    #     inputs : x_ref [1,Tpad,128] bf16, w1_hbm [nb,128,512] bf16,
+    #              wsg_hbm [nb,512,128] bf16, vec_hbm [nb,8,512] f32,
+    #              c_ref [nb,2,128] f32 (c0 = β₂@Ws + bs, c1 = γ₂@Ws)
+    #     outputs: y_ref [1,Tpad,128] bf16
+    #     scratch: h_ref, p_ref, w1_buf, wsg_buf, vec_buf, sem
+    #
+    #   full-separator mode (nspk > 0, fused_convtasnet_separator):
+    #     inputs : f_ref [1,Tpad,win] bf16 (encoder frames),
+    #              we_ref [win,512] bf16 (encoder filterbank),
+    #              w1/wsg/vec/c arrays with ONE EXTRA leading entry —
+    #              index 0 is the bottleneck pseudo-block (wsg₀ = γbn⊙Wbn,
+    #              c₀ = (βbn@Wbn + bbn, γbn@Wbn); w1₀/vec₀ unused zeros),
+    #              wm_ref [128, nspk·512] bf16 (mask 1×1), bm_ref [1,
+    #              nspk·512] f32, wd_ref [512,win] bf16 (decoder filterbank)
+    #     outputs: o_ref [1,nspk,Tpad,win] bf16 (masked decoder frames)
+    #     scratch: enc_ref [Tpad,512] bf16, y_scr [Tpad,128] bf16,
+    #              h_ref, p_ref, w1_buf, wsg_buf, vec_buf, sem
+    *refs,
     dilations: Sequence[int],
     T: int,
     Tpad: int,
+    nspk: int = 0,
+    sigmoid: bool = False,
 ):
+    full = nspk > 0
+    if full:
+        (f_ref, we_ref, w1_hbm, wsg_hbm, vec_hbm, c_ref, wm_ref, bm_ref,
+         wd_ref, o_ref, enc_ref, y_scr, h_ref, p_ref, w1_buf, wsg_buf,
+         vec_buf, sem) = refs
+    else:
+        (x_ref, w1_hbm, wsg_hbm, vec_hbm, c_ref, y_ref, h_ref, p_ref,
+         w1_buf, wsg_buf, vec_buf, sem) = refs
+
     n_tiles = Tpad // TILE
     inv_count = 1.0 / (float(T) * 512.0)
     eps = 1e-8
+
+    def y_get(sl):
+        return y_scr[sl, :] if full else y_ref[0, sl, :]
+
+    def y_set(sl, v):
+        if full:
+            y_scr[sl, :] = v
+        else:
+            y_ref[0, sl, :] = v
 
     # zero the halos once per sample; the tail rows [T, Tpad) are written as
     # zeros by P1's row mask every block
     h_ref[0:PAD, :] = jnp.zeros((PAD, 512), jnp.bfloat16)
     h_ref[PAD + Tpad : PAD + Tpad + PAD, :] = jnp.zeros((PAD, 512), jnp.bfloat16)
 
-    # y starts as x (the residual accumulator lives in y)
-    y_ref[0, :, :] = x_ref[0, :, :]
+    if not full:
+        # y starts as x (the residual accumulator lives in y)
+        y_ref[0, :, :] = x_ref[0, :, :]
 
     n_blocks = len(dilations)
+    n_entries = n_blocks + (1 if full else 0)  # weight-array entries
 
     def start_weight_dma(b, slot):
         copies = (
@@ -117,11 +144,52 @@ def _kernel(
     rstd2_prev = jnp.float32(0.0)
     shift_prev = jnp.zeros((128,), jnp.float32)
 
-    for b, d in enumerate(dilations):
+    if full:
+        # ---- prologue: encoder matmul + bottleneck as pending block 0.
+        # enc = frames @ We stays VMEM-resident for the epilogue's mask
+        # multiply; the bottleneck gLN+1×1 rides the SAME delayed-norm
+        # pending mechanism as every TCN block: P = enc @ (γbn⊙Wbn) now,
+        # y = rstd·P + shift applied by block 1's P1.
+        for c in inflight.pop(0):
+            c.wait()
+        if n_entries > 1:
+            inflight[1] = start_weight_dma(1, 1)
+
+        def pro_tile(i, carry):
+            sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
+            ft = f_ref[0, sl, :]
+            et = jax.lax.dot_general(
+                ft, we_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            etb = et.astype(jnp.bfloat16)
+            enc_ref[sl, :] = etb
+            p_ref[sl, :] = jax.lax.dot_general(
+                etb, wsg_buf[0],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            etf = etb.astype(jnp.float32)
+            s, q = carry
+            return s + jnp.sum(etf), q + jnp.sum(etf * etf)
+
+        # frame rows ≥ T are zero → contribute nothing to the gLN sums or
+        # to P, so no row masking is needed anywhere in the prologue
+        se, qe = jax.lax.fori_loop(
+            0, n_tiles, pro_tile, (jnp.float32(0.0), jnp.float32(0.0))
+        )
+        mean_e = se * inv_count
+        rstd2_prev = jax.lax.rsqrt(qe * inv_count - mean_e * mean_e + eps)
+        shift_prev = c_ref[0, 0, :] - mean_e * rstd2_prev * c_ref[0, 1, :]
+
+    base = 1 if full else 0
+    for bi, d in enumerate(dilations):
+        b = base + bi
         slot = b % 2
         for c in inflight.pop(b):
             c.wait()
-        if b + 1 < n_blocks:
+        if b + 1 < n_entries:
             inflight[b + 1] = start_weight_dma(b + 1, (b + 1) % 2)
         w1_ref = w1_buf.at[slot]
         wsg_ref = wsg_buf.at[slot]
@@ -136,19 +204,25 @@ def _kernel(
 
         def p1_tile(i, masked: bool):
             sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
-            yt = y_ref[0, sl, :]
             if b > 0:
-                ytf = (
-                    yt.astype(jnp.float32)
-                    + rstd2_prev * p_ref[sl, :]
-                    + shift_prev[None, :]
-                )
+                if full and b == 1:
+                    # first pending apply in full mode: y is uninitialized
+                    # scratch — the bottleneck output IS the initial y
+                    ytf = rstd2_prev * p_ref[sl, :] + shift_prev[None, :]
+                else:
+                    ytf = (
+                        y_get(sl).astype(jnp.float32)
+                        + rstd2_prev * p_ref[sl, :]
+                        + shift_prev[None, :]
+                    )
                 if masked:
                     # the shift term is nonzero in the dead rows ≥ T
                     r128 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 0) + i * TILE
                     ytf = jnp.where(r128 < T, ytf, 0.0)
                 yt = ytf.astype(jnp.bfloat16)
-                y_ref[0, sl, :] = yt
+                y_set(sl, yt)
+            else:
+                yt = y_get(sl)
             ht = jax.lax.dot_general(
                 yt, w1_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -254,22 +328,54 @@ def _kernel(
         rstd2_prev = jax.lax.rsqrt(q2 * inv_count - mean2 * mean2 + eps)
         shift_prev = c_ref[b, 0, :] - mean2 * rstd2_prev * c_ref[b, 1, :]
 
-    # ---- epilogue: apply the last block's pending update -------------------
-    def epi_tile(i, masked: bool):
-        sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
-        ytf = (
-            y_ref[0, sl, :].astype(jnp.float32)
-            + rstd2_prev * p_ref[sl, :]
-            + shift_prev[None, :]
-        )
-        if masked:
-            r128 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 0) + i * TILE
-            ytf = jnp.where(r128 < T, ytf, 0.0)
-        y_ref[0, sl, :] = ytf.astype(jnp.bfloat16)
-        return 0
+    if full:
+        # ---- epilogue (full): last pending update → mask head → mask×enc
+        # → decoder frames, all without touching HBM.  No dead-row masking
+        # is needed: enc rows ≥ T are zero, so the mask multiply zeroes the
+        # decoder frames there regardless of y's tail content.
+        def epi_tile_full(i, _):
+            sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
+            ytf = (
+                y_scr[sl, :].astype(jnp.float32)
+                + rstd2_prev * p_ref[sl, :]
+                + shift_prev[None, :]
+            )
+            yb = ytf.astype(jnp.bfloat16)
+            et = enc_ref[sl, :]
+            for s in range(nspk):
+                mt = jax.lax.dot_general(
+                    yb, wm_ref[:, s * 512 : (s + 1) * 512],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bm_ref[0, s * 512 : (s + 1) * 512][None, :]
+                mt = jax.nn.sigmoid(mt) if sigmoid else jnp.maximum(mt, 0.0)
+                db = mt.astype(jnp.bfloat16) * et
+                dec = jax.lax.dot_general(
+                    db, wd_ref[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o_ref[0, s, sl, :] = dec.astype(jnp.bfloat16)
+            return 0
 
-    jax.lax.fori_loop(0, n_tiles - 1, lambda i, _: epi_tile(i, False), 0)
-    epi_tile(n_tiles - 1, True)
+        jax.lax.fori_loop(0, n_tiles, epi_tile_full, 0)
+    else:
+        # ---- epilogue: apply the last block's pending update ---------------
+        def epi_tile(i, masked: bool):
+            sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
+            ytf = (
+                y_ref[0, sl, :].astype(jnp.float32)
+                + rstd2_prev * p_ref[sl, :]
+                + shift_prev[None, :]
+            )
+            if masked:
+                r128 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 0) + i * TILE
+                ytf = jnp.where(r128 < T, ytf, 0.0)
+            y_ref[0, sl, :] = ytf.astype(jnp.bfloat16)
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles - 1, lambda i, _: epi_tile(i, False), 0)
+        epi_tile(n_tiles - 1, True)
 
 
 @functools.partial(jax.jit, static_argnames=("dilations", "T_valid"))
@@ -326,6 +432,117 @@ def fused_tcn_separator(
         ),
     )(alphas, x.astype(jnp.bfloat16), w1s, wsgs, vecs, cs)
     return y[:, :T, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("dilations", "nspk", "sigmoid", "T_valid")
+)
+def fused_convtasnet_separator(
+    frames: jnp.ndarray,  # [B, T', win] bf16 encoder frames
+    we: jnp.ndarray,  # [win, 512] bf16 encoder filterbank
+    w1s: jnp.ndarray,  # [nb+1, 128, 512] bf16 (entry 0 unused zeros)
+    wsgs: jnp.ndarray,  # [nb+1, 512, 128] bf16 (entry 0 = γbn⊙Wbn)
+    vecs: jnp.ndarray,  # [nb+1, 8, 512] f32 (entry 0 unused zeros)
+    cs: jnp.ndarray,  # [nb+1, 2, 128] f32 (entry 0 = bottleneck consts)
+    alphas: jnp.ndarray,  # [nb+1, 2] f32 (row 0 unused zeros)
+    wm: jnp.ndarray,  # [128, nspk·512] bf16 mask 1×1
+    bm: jnp.ndarray,  # [1, nspk·512] f32 mask bias
+    wd: jnp.ndarray,  # [512, win] bf16 decoder filterbank
+    dilations: Sequence[int],
+    nspk: int,
+    sigmoid: bool = False,
+    T_valid: int | None = None,
+):
+    """Whole-separator fused forward: encoder matmul → bottleneck gLN+1×1 →
+    R×X TCN blocks → mask head → mask×enc → decoder frames, ONE kernel.
+    HBM sees only the [B, T', win] frames in and [B, nspk, T', win] masked
+    decoder frames out (plus one weight stream); every [T', 512]-scale
+    activation — enc, h, v, y, the mask — lives and dies in VMEM.
+
+    Returns [B, nspk, T', win] bf16 frames for ``overlap_add``."""
+    B, T, W = frames.shape
+    assert wsgs.shape[1:] == (512, 128), "kernel is specialized to N=H=512"
+    T_valid = T if T_valid is None else T_valid
+    Tpad = -(-T // TILE) * TILE
+    if Tpad != T:
+        frames = jnp.pad(frames, ((0, 0), (0, Tpad - T), (0, 0)))
+
+    kernel = functools.partial(
+        _kernel, dilations=tuple(dilations), T=T_valid, Tpad=Tpad,
+        nspk=nspk, sigmoid=sigmoid,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # alphas
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Tpad, W), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # we
+            pl.BlockSpec(memory_space=pltpu.ANY),  # w1s
+            pl.BlockSpec(memory_space=pltpu.ANY),  # wsgs
+            pl.BlockSpec(memory_space=pltpu.ANY),  # vecs
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # cs
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wm
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bm
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wd
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nspk, Tpad, W), lambda b, *_: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Tpad, 512), jnp.bfloat16),  # enc
+            pltpu.VMEM((Tpad, 128), jnp.bfloat16),  # y
+            pltpu.VMEM((PAD + Tpad + PAD, 512), jnp.bfloat16),  # h
+            pltpu.VMEM((Tpad, 128), jnp.float32),  # p
+            pltpu.VMEM((2, 128, 512), jnp.bfloat16),
+            pltpu.VMEM((2, 512, 128), jnp.bfloat16),
+            pltpu.VMEM((2, 8, 512), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, nspk, Tpad, W), jnp.bfloat16),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(alphas, frames.astype(jnp.bfloat16), we, w1s, wsgs, vecs, cs, wm, bm, wd)
+    return out[:, :, :T, :]
+
+
+def pack_convtasnet_full_params(params, R: int, X: int, num_spks: int):
+    """Pack the WHOLE ConvTasNet param tree (encoder, bottleneck, tcn_{r}_{i}
+    blocks, mask head, decoder) for ``fused_convtasnet_separator``.  The
+    bottleneck gLN+1×1 is folded into pseudo-block 0 of the wsgs/cs arrays
+    (same delayed-norm identity as the block sconvs), in f64, once."""
+    p = params["params"] if "params" in params else params
+    w1s, wsgs, vecs, cs, alphas, dils = pack_convtasnet_tcn_params(params, R, X)
+
+    g = np.asarray(p["bn_norm"]["gamma"], np.float64)
+    bt = np.asarray(p["bn_norm"]["beta"], np.float64)
+    wbn = np.asarray(p["bn_conv"]["kernel"], np.float64)  # [512, 128]
+    bbn = np.asarray(p["bn_conv"]["bias"], np.float64)
+    c0 = np.zeros((1, 2, 128), np.float32)
+    c0[0, 0] = (bt @ wbn + bbn).astype(np.float32)
+    c0[0, 1] = (g @ wbn).astype(np.float32)
+
+    w1s = jnp.concatenate([jnp.zeros((1, 128, 512), w1s.dtype), w1s])
+    wsgs = jnp.concatenate(
+        [jnp.asarray((wbn * g[:, None]).astype(np.float32), wsgs.dtype)[None], wsgs]
+    )
+    vecs = jnp.concatenate([jnp.zeros((1, 8, 512), vecs.dtype), vecs])
+    cs = jnp.concatenate([jnp.asarray(c0), cs])
+    alphas = jnp.concatenate([jnp.zeros((1, 2), alphas.dtype), alphas])
+
+    we = jnp.asarray(np.asarray(p["encoder"]["kernel"]), jnp.bfloat16)
+    wm = jnp.asarray(np.asarray(p["mask_conv"]["kernel"]), jnp.bfloat16)
+    bm = jnp.asarray(
+        np.asarray(p["mask_conv"]["bias"], np.float32)[None, :]
+    )
+    wd = jnp.asarray(np.asarray(p["decoder"]["kernel"]), jnp.bfloat16)
+    assert wm.shape == (128, num_spks * 512), wm.shape
+    return we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, dils
 
 
 def pack_convtasnet_tcn_params(params, R: int, X: int):

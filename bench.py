@@ -38,7 +38,7 @@ import numpy as np
 from audio_only_speech_separation_tpu.models import ConvTasNet
 from audio_only_speech_separation_tpu.models.convtasnet import fused_inference_forward
 from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import (
-    pack_convtasnet_tcn_params,
+    pack_convtasnet_full_params,
 )
 
 A100_EST = 1000.0  # audio-sec/sec/chip, analytic estimate (see module docstring)
@@ -108,7 +108,7 @@ def main():
     # the model is HBM-bandwidth-bound) with the 24-block TCN body running
     # in the fused Pallas kernel (ops/pallas/convtasnet_block.py; another
     # 1.3× by keeping activations resident in VMEM).
-    packed = pack_convtasnet_tcn_params(params, 3, 8)
+    packed = pack_convtasnet_full_params(params, 3, 8, 3)
     x = x.astype(jnp.bfloat16)
 
     @jax.jit
