@@ -70,43 +70,47 @@ class DPRNNCore(nn.Module):
         if self.unfold:
             shared_row = ProjRNN(h, bidirectional=True, name="row_rnn_shared")
             shared_col = ProjRNN(h, bidirectional=self.bidirectional, name="col_rnn_shared")
-            shared_row_norm = GlobalLayerNorm(n, eps=1e-8, name="row_norm_shared")
-            shared_col_norm = GlobalLayerNorm(n, eps=1e-8, name="col_norm_shared")
-            gate = DepthwiseGate(n, name="concat_block")
+            shared_row_norm = GlobalLayerNorm(n, eps=1e-8, channels_last=True, name="row_norm_shared")
+            shared_col_norm = GlobalLayerNorm(n, eps=1e-8, channels_last=True, name="col_norm_shared")
+            gate = DepthwiseGate(n, channels_last=True, name="concat_block")
 
-        out = x.reshape(B * G, n, K, S)
+        # Channels-last execution: row passes run on [BG, S, K, n] (the
+        # exact layout the K-sequence scan consumes), col passes on
+        # [BG, K, S, n].  Norms/residual/gate are layout-agnostic, so each
+        # layer moves data exactly ONCE (the K↔S swap between passes) — the
+        # dual-path minimum — instead of 4 channel transposes per layer.
+        # Same params/math as the channels-first form (parity-tested).
+        cur = jnp.transpose(x.reshape(B * G, n, K, S), (0, 3, 2, 1))
         for i in range(self.num_layers):
             if G > 1:
-                out = TAC(n, self.hidden_size * 3 // G, name=f"tac_{i}")(
-                    out.reshape(B, G, n, K * S)
-                ).reshape(B * G, n, K, S)
+                # TAC exchanges across groups on [B, G, n, K·S]
+                tmp = jnp.transpose(cur, (0, 3, 2, 1)).reshape(B, G, n, K * S)
+                tmp = TAC(n, self.hidden_size * 3 // G, name=f"tac_{i}")(tmp)
+                cur = jnp.transpose(
+                    tmp.reshape(B * G, n, K, S), (0, 3, 2, 1)
+                )
 
             # intra-chunk (row): sequences over K, batched over B*G*S
-            row_in = jnp.transpose(out, (0, 3, 2, 1)).reshape(B * G * S, K, n)
             row_rnn = shared_row if self.unfold else ProjRNN(h, bidirectional=True, name=f"row_rnn_{i}")
-            row_out = row_rnn(row_in)
-            row_out = jnp.transpose(
-                row_out.reshape(B * G, S, K, n), (0, 3, 2, 1)
-            )  # [B*G, n, K, S]
-            row_norm = shared_row_norm if self.unfold else GlobalLayerNorm(n, eps=1e-8, name=f"row_norm_{i}")
-            out = out + row_norm(row_out)
+            row_out = row_rnn(cur.reshape(B * G * S, K, n)).reshape(B * G, S, K, n)
+            row_norm = shared_row_norm if self.unfold else GlobalLayerNorm(n, eps=1e-8, channels_last=True, name=f"row_norm_{i}")
+            cur = cur + row_norm(row_out)
+            cur = jnp.swapaxes(cur, 1, 2)  # → [BG, K, S, n] col layout
 
             # inter-chunk (col): sequences over S, batched over B*G*K
-            col_in = jnp.transpose(out, (0, 2, 3, 1)).reshape(B * G * K, S, n)
             col_rnn = shared_col if self.unfold else ProjRNN(h, bidirectional=self.bidirectional, name=f"col_rnn_{i}")
-            col_out = col_rnn(col_in)
-            col_out = jnp.transpose(
-                col_out.reshape(B * G, K, S, n), (0, 3, 1, 2)
-            )  # [B*G, n, K, S]
-            col_norm = shared_col_norm if self.unfold else GlobalLayerNorm(n, eps=1e-8, name=f"col_norm_{i}")
-            merged = out + col_norm(col_out)
-            out = gate(merged) if self.unfold else merged
+            col_out = col_rnn(cur.reshape(B * G * K, S, n)).reshape(B * G, K, S, n)
+            col_norm = shared_col_norm if self.unfold else GlobalLayerNorm(n, eps=1e-8, channels_last=True, name=f"col_norm_{i}")
+            merged = cur + col_norm(col_out)
+            cur = gate(merged) if self.unfold else merged
+            if i + 1 < self.num_layers:
+                cur = jnp.swapaxes(cur, 1, 2)  # back to row layout
 
         # output 1×1 Conv2d over channels: n → output_size//G per group
         out_ch = self.output_size // G
         w = self.param("out_kernel", nn.initializers.lecun_normal(), (n, out_ch))
         b = self.param("out_bias", nn.initializers.zeros, (out_ch,))
-        y = jnp.einsum("bcks,cd->bdks", out, w) + b[None, :, None, None]
+        y = jnp.einsum("bksc,cd->bdks", cur, w) + b[None, :, None, None]
         y = y.reshape(B, G, num_spk, out_ch // num_spk, K, S)
         y = jnp.swapaxes(y, 1, 2)  # [B, spk, G, out_ch/spk, K, S]
         return y.reshape(B, num_spk, G * (out_ch // num_spk), K, S)

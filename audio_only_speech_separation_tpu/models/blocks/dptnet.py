@@ -11,7 +11,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ...ops.attention import MultiheadAttention
-from ...ops.rnn import BiLSTM
+from ...ops.rnn import BiLSTM, _DenseParams
 from .dprnn import DepthwiseGate
 from .tac import TAC
 
@@ -26,8 +26,10 @@ class TransformerEncoderLayerDPT(nn.Module):
     def __call__(self, x):
         attn = MultiheadAttention(self.d_model, self.nhead, name="self_attn")(x)
         x = nn.LayerNorm(name="norm1")(x + attn)
-        ffn = BiLSTM(self.d_model * 2, name="ffn_lstm")(x)  # [B, T, 4d]
-        ffn = nn.Dense(self.d_model, name="ffn_proj")(nn.relu(ffn))
+        # relu + Linear(4d→d) fused into the scan output (relu is element-
+        # wise, so it distributes across the fwd/bwd projection split)
+        pk, pb = _DenseParams(self.d_model, 4 * self.d_model, name="ffn_proj")()
+        ffn = BiLSTM(self.d_model * 2, name="ffn_lstm")(x, pk, pb, nn.relu)
         x = nn.LayerNorm(name="norm2")(x + ffn)
         return x
 
@@ -55,32 +57,32 @@ class DPTNetCore(nn.Module):
         if self.unfold:
             shared_row = TransformerEncoderLayerDPT(n, name="row_xfmr_shared")
             shared_col = TransformerEncoderLayerDPT(n, name="col_xfmr_shared")
-            gate = DepthwiseGate(n, name="concat_block")
+            gate = DepthwiseGate(n, channels_last=True, name="concat_block")
 
-        out = x.reshape(B * G, n, K, S)
+        # channels-last dual-path execution (same layout discipline as
+        # DPRNNCore): row passes on [BG, S, K, n], col passes on
+        # [BG, K, S, n], exactly one K↔S swap between passes
+        cur = jnp.transpose(x.reshape(B * G, n, K, S), (0, 3, 2, 1))
         for i in range(self.num_layers):
             if G > 1:
-                out = TAC(n, self.hidden_size * 3 // G, name=f"tac_{i}")(
-                    out.reshape(B, G, n, K * S)
-                ).reshape(B * G, n, K, S)
+                tmp = jnp.transpose(cur, (0, 3, 2, 1)).reshape(B, G, n, K * S)
+                tmp = TAC(n, self.hidden_size * 3 // G, name=f"tac_{i}")(tmp)
+                cur = jnp.transpose(tmp.reshape(B * G, n, K, S), (0, 3, 2, 1))
 
-            row_in = jnp.transpose(out, (0, 3, 2, 1)).reshape(B * G * S, K, n)
             row_xfmr = shared_row if self.unfold else TransformerEncoderLayerDPT(n, name=f"row_xfmr_{i}")
-            row_out = row_xfmr(row_in)
-            row_out = jnp.transpose(row_out.reshape(B * G, S, K, n), (0, 3, 2, 1))
-            out = out + row_out
+            cur = cur + row_xfmr(cur.reshape(B * G * S, K, n)).reshape(B * G, S, K, n)
+            cur = jnp.swapaxes(cur, 1, 2)  # → [BG, K, S, n]
 
-            col_in = jnp.transpose(out, (0, 2, 3, 1)).reshape(B * G * K, S, n)
             col_xfmr = shared_col if self.unfold else TransformerEncoderLayerDPT(n, name=f"col_xfmr_{i}")
-            col_out = col_xfmr(col_in)
-            col_out = jnp.transpose(col_out.reshape(B * G, K, S, n), (0, 3, 1, 2))
-            merged = out + col_out
-            out = gate(merged) if self.unfold else merged
+            merged = cur + col_xfmr(cur.reshape(B * G * K, S, n)).reshape(B * G, K, S, n)
+            cur = gate(merged) if self.unfold else merged
+            if i + 1 < self.num_layers:
+                cur = jnp.swapaxes(cur, 1, 2)  # back to row layout
 
         out_ch = self.output_size // G
         w = self.param("out_kernel", nn.initializers.lecun_normal(), (n, out_ch))
         b = self.param("out_bias", nn.initializers.zeros, (out_ch,))
-        y = jnp.einsum("bcks,cd->bdks", out, w) + b[None, :, None, None]
+        y = jnp.einsum("bksc,cd->bdks", cur, w) + b[None, :, None, None]
         y = y.reshape(B, G, num_spk, out_ch // num_spk, K, S)
         y = jnp.swapaxes(y, 1, 2)
         return y.reshape(B, num_spk, G * (out_ch // num_spk), K, S)

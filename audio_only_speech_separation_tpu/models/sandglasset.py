@@ -20,26 +20,27 @@ from ..ops.activations import PReLU
 from ..ops.attention import MultiheadAttention, sinusoidal_positions
 from ..ops.conv import ConvEncoder, PointwiseConv, frame_signal, overlap_add
 from ..ops.norms import GlobalLayerNorm
-from ..ops.resample import avg_pool1d, interpolate_linear_align_corners
-from ..ops.rnn import BiLSTM
+from ..ops.resample import _linear_interp_matrix
+from ..ops.rnn import BiLSTM, _DenseParams
 from . import register_model
 from .base import BaseModel
 
 
 def unfold_chunks(x: jnp.ndarray, K: int):
-    """x: [B, D, I] → chunks [B, D, K, S] with padding=K on both sides,
-    stride K/2 (torch unfold semantics, sandglasset.py:383-395)."""
+    """x: [B, D, I] → channels-last chunks [B, S, K, D] with padding=K on
+    both sides, stride K/2 (torch unfold semantics, sandglasset.py:383-395)."""
     B, D, I = x.shape
     xp = jnp.pad(x, ((0, 0), (0, 0), (K, K)))
     frames = frame_signal(xp.reshape(B * D, -1), K, K // 2)  # [B*D, S, K]
     S = frames.shape[1]
-    return jnp.transpose(frames.reshape(B, D, S, K), (0, 1, 3, 2)), I
+    return jnp.transpose(frames.reshape(B, D, S, K), (0, 2, 3, 1)), I
 
 
 def fold_chunks(chunks: jnp.ndarray, ori_len: int):
-    """Inverse of `unfold_chunks` with the reference's /2 normalization."""
-    B, D, K, S = chunks.shape
-    frames = jnp.transpose(chunks, (0, 1, 3, 2)).reshape(B * D, S, K)
+    """Inverse of `unfold_chunks` ([B, S, K, D] channels-last in) with the
+    reference's /2 normalization; returns [B, D, ori_len]."""
+    B, S, K, D = chunks.shape
+    frames = jnp.transpose(chunks, (0, 3, 1, 2)).reshape(B * D, S, K)
     sig = overlap_add(frames, K // 2)  # [B*D, T_pad]
     sig = sig[:, K : K + ori_len] / 2.0
     return sig.reshape(B, D, ori_len)
@@ -76,13 +77,20 @@ class SandglassetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, skip_connect=None, train: bool = False):
-        B, D, K, S = x.shape
-        # intra-chunk BiLSTM
-        local_in = jnp.transpose(x, (0, 3, 2, 1)).reshape(B * S, K, D)
-        local = BiLSTM(self.hid_size, name="intra_rnn")(local_in)
-        local = nn.Dense(D, name="intra_linear")(local)
-        local = jnp.transpose(local.reshape(B, S, K, D), (0, 3, 2, 1))
-        local = GlobalLayerNorm(D, eps=1e-5, name="intra_norm")(local)
+        # Channels-last execution on [B, S, K, D]: the intra scan consumes
+        # its layout directly (zero transposes), pooling is a reshape-mean
+        # on axis 2, and the upsample einsum absorbs the Q→K interpolation
+        # AND the transpose back — the naive [B,D,K,S] form moved this
+        # 67 MB tensor 6 times per block.  Params/math unchanged.
+        B, S, K, D = x.shape
+        # intra-chunk BiLSTM with the output projection fused into the scan
+        pk, pb = _DenseParams(D, 2 * self.hid_size, name="intra_linear")()
+        local = BiLSTM(self.hid_size, name="intra_rnn")(
+            x.reshape(B * S, K, D), pk, pb
+        )
+        local = GlobalLayerNorm(D, eps=1e-5, channels_last=True, name="intra_norm")(
+            local.reshape(B, S, K, D)
+        )
         x = x + local
 
         # inter-chunk attention at a downsampled rate
@@ -90,27 +98,32 @@ class SandglassetBlock(nn.Module):
             kernel = 4**self.block_i
         else:
             kernel = 4 ** (self.model_n_block - self.block_i - 1)
-        g = jnp.transpose(x, (3, 0, 1, 2)).reshape(S * B, D, K)
-        g = avg_pool1d(g, kernel, kernel)  # [S*B, D, Q]
-        Q = g.shape[-1]
-        g = jnp.swapaxes(g, 1, 2).reshape(S, B * Q, D)
+        if kernel == 1:
+            g4 = x  # identity pooling (blocks 0 and n-1)
+            Q = K
+        else:
+            Q = (K - kernel) // kernel + 1
+            g4 = x[:, :, : Q * kernel, :].reshape(B, S, Q, kernel, D).mean(3)
+        g = jnp.transpose(g4, (0, 2, 1, 3)).reshape(B * Q, S, D)  # [B·Q, S, D]
         if skip_connect is not None:
             g = g + skip_connect
-        # attention over the chunk-index axis S: batch-first [B*Q, S, D]
         h = nn.LayerNorm(name="attn_in_norm")(g)
-        h = h + sinusoidal_positions(S, D, h.dtype)[:, None, :]
-        h = jnp.swapaxes(h, 0, 1)  # [B*Q, S, D]
+        h = h + sinusoidal_positions(S, D, h.dtype)[None, :, :]
         h = GlobalAttnLayer(D, self.n_head, dropout=self.dropout, name="attn_layer")(
             h, train=train
         )
-        g_out = jnp.swapaxes(h, 0, 1)  # [S, B*Q, D]
-        skip_out = g_out
+        skip_out = h  # [B·Q, S, D]
 
-        # [S, B*Q, D] → [B, D*S, Q] → upsample → [B, D, K, S]
-        up = jnp.transpose(g_out.reshape(S, B, Q, D), (1, 3, 0, 2)).reshape(B, D * S, Q)
-        up = interpolate_linear_align_corners(up, self.chunk_size)
-        up = jnp.swapaxes(up.reshape(B, D, S, K), 2, 3)
-        up = GlobalLayerNorm(D, eps=1e-5, name="inter_norm")(up)
+        # [B·Q, S, D] → upsample along Q → [B, S, K, D]
+        up4 = h.reshape(B, Q, S, D)
+        if Q == self.chunk_size:
+            up = jnp.transpose(up4, (0, 2, 1, 3))
+        else:
+            # linear/align_corners interpolation as a matmul that also
+            # emits the [B, S, K, D] layout directly
+            m = jnp.asarray(_linear_interp_matrix(Q, self.chunk_size), up4.dtype)
+            up = jnp.einsum("bqsd,qk->bskd", up4, m)
+        up = GlobalLayerNorm(D, eps=1e-5, channels_last=True, name="inter_norm")(up)
         return x + up, skip_out
 
 
@@ -160,10 +173,10 @@ class Sandglasset(BaseModel):
         mixture_w = GlobalLayerNorm(self.n_feats, eps=1e-8, name="enc_LN")(mixture_w)
         out = PointwiseConv(self.bn_chan, use_bias=False, name="bottleneck")(mixture_w)
         I = out.shape[-1]
-        chunks, ori_len = unfold_chunks(out, self.chunk_size)
-        chunks = GlobalLayerNorm(self.bn_chan, eps=1e-8, name="seg_norm")(
-            nn.relu(chunks)
-        )
+        chunks, ori_len = unfold_chunks(out, self.chunk_size)  # [B, S, K, D]
+        chunks = GlobalLayerNorm(
+            self.bn_chan, eps=1e-8, channels_last=True, name="seg_norm"
+        )(nn.relu(chunks))
 
         skips = []
         x = chunks
@@ -194,10 +207,12 @@ class Sandglasset(BaseModel):
         b = self.param(
             "first_out_bias", nn.initializers.zeros, (self.n_src * self.n_feats,)
         )
-        x = jnp.einsum("bnks,nm->bmks", x, w) + b[None, :, None, None]
-        x = jax.nn.softplus(x)
-        K, S = x.shape[2], x.shape[3]
-        est = fold_chunks(x.reshape(B * self.n_src, self.n_feats, K, S), ori_len)
+        x = jnp.einsum("bskn,nm->bskm", x, w) + b[None, None, None, :]
+        x = jax.nn.softplus(x)  # [B, S, K, n_src·n_feats]
+        S, K = x.shape[1], x.shape[2]
+        est = fold_chunks(x, ori_len).reshape(
+            B * self.n_src, self.n_feats, ori_len
+        )
         est = GlobalLayerNorm(self.n_feats, eps=1e-8, name="out_norm")(
             nn.relu(est)
         ).reshape(B, self.n_src, self.n_feats, I)

@@ -208,6 +208,193 @@ def _fb_bwd(res, g):
 fused_bilstm.defvjp(_fb_fwd, _fb_bwd)
 
 
+def _res_kernel(
+    x_ref,  # VMEM [T, Bp, Din] bf16 (original time order, ONE copy)
+    wih_ref,  # VMEM [D, Din, 4H] bf16
+    whh_ref,  # VMEM [D, H, 4H] bf16
+    b_ref,  # VMEM [D, 4H] f32 (zeros when the layer has no bias)
+    o_ref,  # VMEM [T, D, Bp, H] bf16 — time-ALIGNED for both directions
+    h_scr,  # VMEM [D, Bp, H] bf16
+    c_scr,  # VMEM [D, Bp, H] bf16
+    *,
+    T: int,
+    H: int,
+    D: int,
+):
+    h_scr[...] = jnp.zeros_like(h_scr)
+    c_scr[...] = jnp.zeros_like(c_scr)
+
+    def step(t, _):
+        # the input projection runs per step IN-KERNEL ([B,Din]·[Din,4H] is
+        # tiny MXU work), so the [T,D,B,4H] xw tensor never exists — not in
+        # HBM, not in VMEM.  The backward direction reads x at T-1-t and
+        # writes its output at T-1-t: outputs come out time-aligned.
+        # Directions are statically unrolled: Mosaic's batched-dot lowering
+        # chokes on concat operands (vector_extract_slice check failure).
+        for d in range(D):
+            ti = t if d == 0 else T - 1 - t
+            xt = x_ref[ti]  # [B, Din]
+            xw = jax.lax.dot_general(
+                xt, wih_ref[d],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            xwb = (xw + b_ref[d, :][None, :]).astype(jnp.bfloat16)
+            hw = jax.lax.dot_general(
+                h_scr[d], whh_ref[d],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+            # bf16 gate values, f32 transcendentals (same policy as _kernel)
+            gates = (xwb + hw).astype(jnp.float32)
+            i = jax.nn.sigmoid(gates[:, 0 * H : 1 * H])
+            f = jax.nn.sigmoid(gates[:, 1 * H : 2 * H])
+            g = jnp.tanh(gates[:, 2 * H : 3 * H])
+            o = jax.nn.sigmoid(gates[:, 3 * H : 4 * H])
+            c32 = f * c_scr[d].astype(jnp.float32) + i * g
+            hn = (o * jnp.tanh(c32)).astype(jnp.bfloat16)
+            h_scr[d] = hn
+            c_scr[d] = c32.astype(jnp.bfloat16)
+            o_ref[ti, d] = hn
+        return 0
+
+    jax.lax.fori_loop(0, T, step, 0)
+
+
+def _res_batch_tile(T: int, B: int, Din: int, H: int, D: int) -> int:
+    """Largest batch-tile (multiple of 8) whose x-block + out-block fit the
+    VMEM budget — ×2 because the grid pipeline DOUBLE-BUFFERS both windows.
+    The grid runs ceil(B/BT) tiles sequentially, each scanning the full
+    sequence on its tile; BT is then shrunk to equalize tiles (minimal
+    padding waste)."""
+    lane = lambda n: _round_up(n, 128)  # noqa: E731
+    per_row = T * 2 * (lane(Din) + D * lane(H) + 1) * 2  # 2 buffering levels
+    bt_max = (RES_VMEM_BUDGET // per_row) // 8 * 8
+    Bp = _round_up(B, 8)
+    if bt_max <= 8:
+        return 8
+    if bt_max >= Bp:
+        return Bp
+    n_tiles = -(-Bp // bt_max)
+    return _round_up(-(-Bp // n_tiles), 8)
+
+
+def _pallas_resident_bilstm(x, w_ih, w_hh, bias):
+    """x [T, B, Din] (original time order) → hidden states [T, D, B, H],
+    both directions aligned to input time order.  Batches larger than the
+    VMEM budget are tiled across a sequential grid."""
+    T, B, Din = x.shape
+    D, H4 = w_hh.shape[0], w_hh.shape[2]
+    H = H4 // 4
+    BT = _res_batch_tile(T, B, Din, H, D)
+    Bp = _round_up(B, BT)
+    if Bp != B:
+        x = jnp.pad(x, ((0, 0), (0, Bp - B), (0, 0)))
+    if bias is None:
+        bias = jnp.zeros((D, H4), jnp.float32)
+    out = pl.pallas_call(
+        functools.partial(_res_kernel, T=T, H=H, D=D),
+        grid=(Bp // BT,),
+        in_specs=[
+            pl.BlockSpec((T, BT, Din), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (T, D, BT, H), lambda b: (0, 0, b, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((T, D, Bp, H), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((D, BT, H), jnp.bfloat16),
+            pltpu.VMEM((D, BT, H), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+    )(
+        x.astype(jnp.bfloat16),
+        w_ih.astype(jnp.bfloat16),
+        w_hh.astype(jnp.bfloat16),
+        bias.astype(jnp.float32),
+    )
+    return out[:, :, :B] if Bp != B else out
+
+
+def _xla_resident_ref(x, w_ih, w_hh, bias):
+    """XLA formulation of resident_bilstm (parity oracle + VJP backward):
+    identical math to ops/rnn.bilstm_scan, returning [T, D, B, H] aligned."""
+    D = w_hh.shape[0]
+    if D == 2:
+        xx = jnp.stack([x, x[::-1]], axis=0)  # [2, T, B, Din]
+    else:
+        xx = x[None]
+    xw = jnp.einsum(
+        "ktbd,kdg->ktbg", xx, w_ih.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if bias is not None:
+        xw = xw + bias[:, None, None, :].astype(x.dtype)
+    hs = _xla_bilstm(jnp.moveaxis(xw, 1, 0), w_hh)  # [T, D, B, H]
+    if D == 2:
+        hs = jnp.stack([hs[:, 0], hs[::-1, 1]], axis=1)
+    return hs
+
+
+@jax.custom_vjp
+def resident_bilstm(x, w_ih, w_hh, bias):
+    """Whole-sequence VMEM-resident (bi)LSTM: x [T, B, Din] → [T, D, B, H].
+
+    Unlike ``fused_bilstm`` this consumes the UNPROJECTED input — the
+    [Din → 4H] projection happens per step in-kernel, so the [T, D, B, 4H]
+    gate tensor never touches HBM.  For the large-batch/short-sequence
+    dual-path regime (where the chunked-DMA kernel measured 2× slower than
+    the XLA scan) this removes both the serial batch grid and all per-step
+    HBM traffic.  Both directions' outputs are time-aligned to the input.
+    """
+    return _pallas_resident_bilstm(x, w_ih, w_hh, bias)
+
+
+def _rb_fwd(x, w_ih, w_hh, bias):
+    return _pallas_resident_bilstm(x, w_ih, w_hh, bias), (x, w_ih, w_hh, bias)
+
+
+def _rb_bwd(res, g):
+    x, w_ih, w_hh, bias = res
+    if bias is None:
+        _, vjp = jax.vjp(lambda a, b, c: _xla_resident_ref(a, b, c, None), x, w_ih, w_hh)
+        return vjp(g) + (None,)
+    _, vjp = jax.vjp(_xla_resident_ref, x, w_ih, w_hh, bias)
+    return vjp(g)
+
+
+resident_bilstm.defvjp(_rb_fwd, _rb_bwd)
+
+RES_VMEM_BUDGET = 88 * 1024 * 1024
+
+
+def resident_eligible(
+    T: int, B: int, Din: int, H: int, D: int, dtype, backend: str | None = None
+) -> bool:
+    """Gate for the VMEM-resident whole-sequence kernel: TPU, bf16,
+    lane-aligned gate slices, the LARGE-batch regime the chunked kernel
+    loses in (B > 128 — below that ``bilstm_eligible`` owns the decision),
+    LONG sequences (in-model A/B on TPU v5e: DPRNN's T=100/41 scans run
+    ~190 µs with this kernel vs ~140 µs on the XLA scan path — XLA's rnn
+    lowering wins at short T, so those stay on lax.scan), and the whole
+    x + output footprint fitting in VMEM."""
+    if backend is None:
+        backend = jax.default_backend()
+    return (
+        backend == "tpu"
+        and dtype == jnp.bfloat16
+        and H % 128 == 0
+        and T >= 200
+        and B > 128
+        # batch tiles must stay wide enough to amortize the per-step
+        # control overhead (the grid serializes tiles)
+        and _res_batch_tile(T, B, Din, H, D) >= 192
+    )
+
+
 def bilstm_eligible(T: int, B: int, H: int, dtype, backend: str | None = None) -> bool:
     """Kernel gate: TPU, bf16, lane-aligned gate slices, and the regime the
     kernel actually wins in — long sequences with a SMALL batch, where the

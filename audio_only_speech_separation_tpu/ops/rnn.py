@@ -26,7 +26,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .pallas.lstm import bilstm_eligible, fused_bilstm
+from .pallas.lstm import (
+    bilstm_eligible,
+    fused_bilstm,
+    resident_bilstm,
+    resident_eligible,
+)
 
 
 def lstm_scan(
@@ -39,12 +44,22 @@ def lstm_scan(
     """Single-direction LSTM; returns hidden states [B, T, H]."""
     B, T, D = x.shape
     H = w_hh.shape[0]
+    if resident_eligible(T, B, D, H, 1, x.dtype):
+        # whole-sequence VMEM-resident kernel (projection in-kernel)
+        xt = jnp.swapaxes(x, 0, 1)  # [T, B, D]
+        if reverse:
+            xt = xt[::-1]
+        hs = resident_bilstm(
+            xt, w_ih[None], w_hh[None], None if bias is None else bias[None]
+        )[:, 0]
+        if reverse:
+            hs = hs[::-1]
+        return jnp.swapaxes(hs, 0, 1)
     xw = jnp.einsum(
-        "btd,dg->btg", x, w_ih.astype(x.dtype), preferred_element_type=jnp.float32
-    ).astype(x.dtype)
+        "btd,dg->tbg", x, w_ih.astype(x.dtype), preferred_element_type=jnp.float32
+    ).astype(x.dtype)  # time-major directly: no post-einsum transpose copy
     if bias is not None:
         xw = xw + bias
-    xw = jnp.swapaxes(xw, 0, 1)  # [T, B, 4H]
 
     if bilstm_eligible(T, B, H, x.dtype):
         # fused Pallas scan (ops/pallas/lstm.py) — single-direction call
@@ -82,25 +97,52 @@ def bilstm_scan(
     w_ih: jnp.ndarray,  # [2, D, 4H]
     w_hh: jnp.ndarray,  # [2, H, 4H]
     bias: Optional[jnp.ndarray],  # [2, 4H] or None
+    proj_w: Optional[jnp.ndarray] = None,  # [2H, P]: fuse a following Dense
+    proj_b: Optional[jnp.ndarray] = None,  # [P]
+    proj_act=None,  # optional elementwise fn applied BEFORE the projection
 ) -> jnp.ndarray:
-    """Bidirectional LSTM in a single scan; returns [B, T, 2H] (fwd‖bwd)."""
+    """Bidirectional LSTM in a single scan; returns [B, T, 2H] (fwd‖bwd),
+    or [B, T, P] when ``proj_w`` is given (the ProjRNN output projection is
+    fused into the output einsums — act(concat(fwd, bwd)) @ W ≡
+    act(fwd) @ W[:H] + act(bwd) @ W[H:] for any elementwise act — which
+    also absorbs the [T→B-major] transpose, so the concat/swapaxes copies
+    never materialize)."""
     B, T, D = x.shape
     H = w_hh.shape[1]
-    # Stack forward and time-reversed copies on a direction axis.
+
+    def finish(fwd, bwd):
+        # fwd/bwd: [T, B, H], both aligned to input time order
+        if proj_w is not None:
+            if proj_act is not None:
+                fwd, bwd = proj_act(fwd), proj_act(bwd)
+            pw = proj_w.astype(fwd.dtype)
+            out = jnp.einsum(
+                "tbh,hp->btp", fwd, pw[:H], preferred_element_type=jnp.float32
+            ) + jnp.einsum(
+                "tbh,hp->btp", bwd, pw[H:], preferred_element_type=jnp.float32
+            )
+            out = out.astype(fwd.dtype)
+            return out + proj_b.astype(out.dtype) if proj_b is not None else out
+        return jnp.swapaxes(jnp.concatenate([fwd, bwd], axis=-1), 0, 1)
+
+    if resident_eligible(T, B, D, H, 2, x.dtype):
+        # whole-sequence VMEM-resident kernel: x goes in ONCE in original
+        # time order; both directions come back time-aligned
+        hs = resident_bilstm(jnp.swapaxes(x, 0, 1), w_ih, w_hh, bias)
+        return finish(hs[:, 0], hs[:, 1])
+    # Stack forward and time-reversed copies on a direction axis; the einsum
+    # emits xw TIME-major directly ("tkbg"), so no [T,2,B,4H]-sized moveaxis
+    # copy ever materializes (measured 22 µs/scan on DPRNN shapes).
     xx = jnp.stack([x, x[:, ::-1]], axis=0)  # [2, B, T, D]
     xw = jnp.einsum(
-        "kbtd,kdg->kbtg", xx, w_ih.astype(x.dtype), preferred_element_type=jnp.float32
+        "kbtd,kdg->tkbg", xx, w_ih.astype(x.dtype), preferred_element_type=jnp.float32
     ).astype(x.dtype)
     if bias is not None:
-        xw = xw + bias[:, None, None, :]
-    xw = jnp.moveaxis(xw, 2, 0)  # [T, 2, B, 4H]
+        xw = xw + bias[None, :, None, :]
 
     if bilstm_eligible(T, B, H, x.dtype):
         hs = fused_bilstm(xw, w_hh)  # [T, 2, B, H]
-        fwd = hs[:, 0]
-        bwd = hs[:, 1][::-1]
-        out = jnp.concatenate([fwd, bwd], axis=-1)
-        return jnp.swapaxes(out, 0, 1)
+        return finish(hs[:, 0], hs[:, 1][::-1])
 
     def step(carry, xt):
         h, c = carry  # [2, B, H]
@@ -117,10 +159,7 @@ def bilstm_scan(
         jnp.zeros((2, B, H), x.dtype),
     )
     _, hs = jax.lax.scan(step, init, xw)  # [T, 2, B, H]
-    fwd = hs[:, 0]  # [T, B, H]
-    bwd = hs[:, 1][::-1]  # re-reverse to input time order
-    out = jnp.concatenate([fwd, bwd], axis=-1)  # [T, B, 2H]
-    return jnp.swapaxes(out, 0, 1)
+    return finish(hs[:, 0], hs[:, 1][::-1])
 
 
 def _torch_lstm_init(key, shape, dtype=jnp.float32):
@@ -147,13 +186,14 @@ class LSTM(nn.Module):
 
 
 class BiLSTM(nn.Module):
-    """Bidirectional single-layer LSTM: [B, T, D] → [B, T, 2H]."""
+    """Bidirectional single-layer LSTM: [B, T, D] → [B, T, 2H] (or
+    [B, T, P] when a following projection is fused in via proj_w/proj_b)."""
 
     hidden_size: int
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, proj_w=None, proj_b=None, proj_act=None):
         D = x.shape[-1]
         H = self.hidden_size
         w_ih = self.param("w_ih", _torch_lstm_init, (2, D, 4 * H))
@@ -163,7 +203,24 @@ class BiLSTM(nn.Module):
             if self.use_bias
             else None
         )
-        return bilstm_scan(x, w_ih, w_hh, b)
+        return bilstm_scan(x, w_ih, w_hh, b, proj_w, proj_b, proj_act)
+
+
+class _DenseParams(nn.Module):
+    """Creates nn.Dense-identical params (kernel/bias, same names, shapes,
+    inits) WITHOUT applying them — so a caller can fuse the projection into
+    an adjacent op while keeping the param tree checkpoint-compatible."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
 
 
 class MultiLayerLSTM(nn.Module):
@@ -196,7 +253,9 @@ class ProjRNN(nn.Module):
     @nn.compact
     def __call__(self, x):
         if self.bidirectional:
-            h = BiLSTM(self.hidden_size, name="rnn")(x)
-        else:
-            h = LSTM(self.hidden_size, name="rnn")(x)
+            # projection fused into the scan output (one einsum pair absorbs
+            # the concat + transpose + Dense — removes 2 copies per scan)
+            k, b = _DenseParams(x.shape[-1], 2 * self.hidden_size, name="proj")()
+            return BiLSTM(self.hidden_size, name="rnn")(x, k, b)
+        h = LSTM(self.hidden_size, name="rnn")(x)
         return nn.Dense(x.shape[-1], name="proj")(h)

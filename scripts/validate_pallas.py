@@ -103,6 +103,52 @@ def validate_tcn():
     return out
 
 
+def validate_full_separator():
+    """End-to-end parity of the full-separator kernel (encoder + bottleneck
+    + TCN + mask + decoder in one Pallas call, fused_inference_forward) vs
+    the f32 XLA model.apply, with the bf16 XLA forward as tolerance scale.
+    Covers num_spks ∈ {2, 3}, relu/sigmoid masks, and an odd (non-tile-
+    aligned) T."""
+    from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import (
+        pack_convtasnet_full_params,
+    )
+
+    cases, ok = [], True
+    for nspk, act, T in [(3, "relu", 16000), (2, "sigmoid", 9999)]:
+        model = ConvTasNet(
+            N=512, L=16, B=128, H=512, P=3, X=4, R=1,
+            norm="gLN", num_spks=nspk, activate=act, causal=False,
+            sample_rate=8000,
+        )
+        x = jnp.asarray(rng.normal(size=(2, T)).astype(np.float32))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        ref = np.asarray(jax.jit(model.apply)(params, x))
+        pb = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            params,
+        )
+        refb = np.asarray(
+            jax.jit(model.apply)(pb, x.astype(jnp.bfloat16)).astype(jnp.float32)
+        )
+        packed = pack_convtasnet_full_params(params, 1, 4, nspk)
+        got = np.asarray(
+            jax.jit(
+                lambda p, m: fused_inference_forward(model, p, m, packed=packed)
+            )(params, x.astype(jnp.bfloat16)).astype(jnp.float32)
+        )
+        case = {
+            "num_spks": nspk,
+            "activate": act,
+            "T": T,
+            "fused_vs_f32_max": float(np.abs(got - ref).max()),
+            "bf16_xla_vs_f32_max": float(np.abs(refb - ref).max()),
+            "out_scale": float(np.abs(ref).max()),
+        }
+        ok = ok and case["fused_vs_f32_max"] <= 1.5 * case["bf16_xla_vs_f32_max"] + 1e-3
+        cases.append(case)
+    return {"cases": cases, "ok": bool(ok)}
+
+
 def validate_attention():
     cases = []
     ok = True
@@ -121,6 +167,46 @@ def validate_attention():
             "bf16_max_err": float(np.abs(ab - bb).max()),
         }
         ok = ok and case["f32_max_err"] < 2e-3 and case["bf16_max_err"] < 2e-2
+        cases.append(case)
+    return {"cases": cases, "ok": bool(ok)}
+
+
+def validate_resident_bilstm():
+    """Whole-sequence VMEM-resident (bi)LSTM vs the XLA formulation, at the
+    dual-path shapes that dispatch to it (DPRNN row/col, DPTNet FFN,
+    Sandglasset intra): (T, B, Din, H, D)."""
+    from audio_only_speech_separation_tpu.ops.pallas.lstm import (
+        _pallas_resident_bilstm,
+        _xla_resident_ref,
+    )
+
+    cases, ok = [], True
+    for (T, B, Din, H, D) in [
+        (100, 328, 64, 128, 2),   # DPRNN row
+        (41, 800, 64, 128, 2),    # DPRNN col
+        (250, 256, 128, 128, 2),  # Sandglasset intra
+        (40, 800, 64, 128, 1),    # unidirectional col variant
+    ]:
+        x = jnp.asarray(
+            (rng.normal(size=(T, B, Din)) * 0.5).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        wih = jnp.asarray(
+            (rng.normal(size=(D, Din, 4 * H)) * 0.08).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        whh = jnp.asarray(
+            (rng.normal(size=(D, H, 4 * H)) * 0.05).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        b = jnp.asarray((rng.normal(size=(D, 4 * H)) * 0.05).astype(np.float32))
+        a = np.asarray(
+            jax.jit(_pallas_resident_bilstm)(x, wih, whh, b).astype(jnp.float32)
+        )
+        r = np.asarray(
+            jax.jit(_xla_resident_ref)(x, wih, whh, b.astype(jnp.bfloat16)).astype(
+                jnp.float32
+            )
+        )
+        case = {"shape": [T, B, Din, H, D], "max_err": float(np.abs(a - r).max())}
+        ok = ok and case["max_err"] < 1e-2
         cases.append(case)
     return {"cases": cases, "ok": bool(ok)}
 
@@ -197,7 +283,11 @@ def bf16_quality_study(steps=300):
     train_time = time.time() - t0
 
     est_f32 = np.asarray(jax.jit(model.apply)(params, mix_j))
-    packed = pack_convtasnet_tcn_params(params, 3, 8)
+    from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import (
+        pack_convtasnet_full_params,
+    )
+
+    packed = pack_convtasnet_full_params(params, 3, 8, 2)
     est_bf16 = np.asarray(
         jax.jit(lambda p, m: fused_inference_forward(model, p, m, packed=packed))(
             params, mix_j.astype(jnp.bfloat16)
@@ -244,8 +334,10 @@ def main():
         "device": str(jax.devices()[0]),
         "kernel_source_hashes": kernel_source_hashes(),
         "tcn_kernel": validate_tcn(),
+        "full_separator_kernel": validate_full_separator(),
         "attention_kernel": validate_attention(),
         "bilstm_kernel": validate_bilstm(),
+        "resident_bilstm_kernel": validate_resident_bilstm(),
     }
     if not args.quick:
         report["bf16_quality"] = bf16_quality_study()

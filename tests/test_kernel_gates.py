@@ -57,6 +57,45 @@ class TestBilstmGate:
         assert not bilstm_eligible(251, 64, 96, jnp.bfloat16, backend="tpu")
 
 
+class TestResidentGate:
+    def test_off_tpu_never(self):
+        from audio_only_speech_separation_tpu.ops.pallas.lstm import resident_eligible
+
+        assert not resident_eligible(100, 328, 64, 128, 2, jnp.bfloat16, backend="cpu")
+
+    def test_long_sequence_large_batch_eligible(self):
+        from audio_only_speech_separation_tpu.ops.pallas.lstm import resident_eligible
+
+        # Sandglasset intra (T=250, B=8·131): long T, large B
+        assert resident_eligible(250, 1048, 128, 128, 2, jnp.bfloat16, backend="tpu")
+
+    def test_short_sequences_stay_on_xla_scan(self):
+        from audio_only_speech_separation_tpu.ops.pallas.lstm import resident_eligible
+
+        # DPRNN row (T=100) and col (T=41): measured ~190 µs kernel vs
+        # ~140 µs XLA rnn in-model — XLA wins at short T
+        assert not resident_eligible(100, 328, 64, 128, 2, jnp.bfloat16, backend="tpu")
+        assert not resident_eligible(41, 800, 64, 128, 2, jnp.bfloat16, backend="tpu")
+
+    def test_small_batch_owned_by_chunked_kernel(self):
+        from audio_only_speech_separation_tpu.ops.pallas.lstm import resident_eligible
+
+        # BSRNN band RNN (B=64): bilstm_eligible's measured domain
+        assert not resident_eligible(251, 64, 128, 256, 2, jnp.bfloat16, backend="tpu")
+
+    def test_vmem_budget_bound(self):
+        from audio_only_speech_separation_tpu.ops.pallas.lstm import resident_eligible
+
+        # a full-utterance batch that cannot fit x + hs in VMEM
+        assert not resident_eligible(4000, 512, 64, 128, 2, jnp.bfloat16, backend="tpu")
+
+    def test_f32_and_unaligned_never(self):
+        from audio_only_speech_separation_tpu.ops.pallas.lstm import resident_eligible
+
+        assert not resident_eligible(100, 328, 64, 128, 2, jnp.float32, backend="tpu")
+        assert not resident_eligible(100, 328, 64, 96, 2, jnp.bfloat16, backend="tpu")
+
+
 class TestValidationFreshness:
     """bench.py refuses its headline unless PALLAS_VALIDATION.json passed on
     the current kernel sources (hash binding, round-2 verdict weak #4)."""
