@@ -29,6 +29,7 @@ class TestChunkedSeparate:
         params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8000)))
         return model, params
 
+    @pytest.mark.slow
     def test_short_input_passthrough(self, model_and_params, rng):
         model, params = model_and_params
         wav = rng.normal(size=4000).astype(np.float32)
@@ -36,6 +37,7 @@ class TestChunkedSeparate:
                                overlap_seconds=0.25, sample_rate=8000)
         assert out.shape == (2, 4000)
 
+    @pytest.mark.slow
     def test_long_input_shape_and_consistency(self, model_and_params, rng):
         model, params = model_and_params
         wav = rng.normal(size=20000).astype(np.float32) * 0.1

@@ -68,6 +68,7 @@ class TestTasNetFamily:
 
 
 class TestConvTasNet:
+    @pytest.mark.slow
     def test_shape(self):
         model = M.ConvTasNet(N=32, L=16, B=16, H=16, P=3, X=2, R=1, num_spks=3, sample_rate=8000)
         x, _, out = build_and_run(model, T=800)
@@ -159,6 +160,7 @@ class TestSandglasset:
 
 
 class TestSerialization:
+    @pytest.mark.slow
     def test_round_trip(self, tmp_path):
         model = M.TasNet(module="DPRNN", **TINY_TASNET)
         x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 200)), jnp.float32)

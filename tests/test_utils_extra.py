@@ -7,6 +7,7 @@ import pytest
 
 
 class TestProfiling:
+    @pytest.mark.slow
     def test_count_params_and_cost(self):
         from audio_only_speech_separation_tpu.models import ConvTasNet
         from audio_only_speech_separation_tpu.utils.profiling import (
