@@ -99,11 +99,23 @@ class SandglassetBlock(nn.Module):
         else:
             kernel = 4 ** (self.model_n_block - self.block_i - 1)
         if kernel == 1:
-            g4 = x  # identity pooling (blocks 0 and n-1)
-            Q = K
-        else:
-            Q = (K - kernel) // kernel + 1
-            g4 = x[:, :, : Q * kernel, :].reshape(B, S, Q, kernel, D).mean(3)
+            # identity pooling (blocks 0 and n-1): stay in [B, S, K, D] and
+            # attend over S with K batched — the 4-D MHA path absorbs both
+            # layout changes into the projection matmuls, so the 67 MB
+            # block tensor never goes through a standalone transpose
+            g = x
+            if skip_connect is not None:
+                g = g + skip_connect
+            h = nn.LayerNorm(name="attn_in_norm")(g)
+            h = h + sinusoidal_positions(S, D, h.dtype)[None, :, None, :]
+            h = GlobalAttnLayer(
+                D, self.n_head, dropout=self.dropout, name="attn_layer"
+            )(h, train=train)
+            up = GlobalLayerNorm(D, eps=1e-5, channels_last=True, name="inter_norm")(h)
+            return x + up, h  # skip_out stays [B, S, K, D]
+
+        Q = (K - kernel) // kernel + 1
+        g4 = x[:, :, : Q * kernel, :].reshape(B, S, Q, kernel, D).mean(3)
         g = jnp.transpose(g4, (0, 2, 1, 3)).reshape(B * Q, S, D)  # [B·Q, S, D]
         if skip_connect is not None:
             g = g + skip_connect

@@ -58,14 +58,19 @@ class MultiheadAttention(nn.Module):
     @nn.compact
     def __call__(
         self,
-        query: jnp.ndarray,  # [B, Tq, E]
+        query: jnp.ndarray,  # [B, Tq, E] — or [B, Tq, K, E] (see below)
         key: Optional[jnp.ndarray] = None,
         value: Optional[jnp.ndarray] = None,
         mask: Optional[jnp.ndarray] = None,  # broadcastable to [B, h, Tq, Tk]
         train: bool = False,
     ):
-        key = query if key is None else key
-        value = key if value is None else value
+        # Layout-preserving batched self-attention: a 4-D input
+        # [B, T, K, E] attends over axis 1 with K as an extra batch axis,
+        # WITHOUT the caller transposing to [B·K, T, E].  The two layout
+        # changes ride the projection matmuls (einsum "bskd,fd->bkfs" in,
+        # "bkes,ef->bskf" out), so no standalone 67 MB transpose is ever
+        # materialized — this is the Sandglasset blocks-0/5 path, where
+        # [8, 131, 250, 128] moved through 2 physical transposes per block.
         E, h = self.embed_dim, self.num_heads
         dh = E // h
         w_in = self.param(
@@ -76,6 +81,19 @@ class MultiheadAttention(nn.Module):
             if self.use_bias
             else None
         )
+        w_out, b_out = _DenseParams(E, E, self.use_bias, name="out_proj")()
+        if query.ndim == 4:
+            assert key is None and value is None and mask is None
+            drop = (
+                nn.Dropout(self.dropout, deterministic=not train)
+                if self.dropout > 0.0
+                else None
+            )
+            return _mha_batched_axis1(
+                E, h, query, w_in, b_in, w_out, b_out, drop, train
+            )
+        key = query if key is None else key
+        value = key if value is None else value
         wq, wk, wv = jnp.split(w_in, 3, axis=0)
 
         def proj(x, w, b):
@@ -86,7 +104,6 @@ class MultiheadAttention(nn.Module):
             bq, bk, bv = jnp.split(b_in, 3)
         else:
             bq = bk = bv = None
-        w_out, b_out = _DenseParams(E, E, self.use_bias, name="out_proj")()
 
         # fused VMEM-resident kernel for short self-attention: the einsum
         # path materializes f32 [B,h,T,T] logits through HBM, which
@@ -149,6 +166,68 @@ class MultiheadAttention(nn.Module):
         if b_out is not None:
             out = out + b_out.astype(out.dtype)
         return out
+
+
+def _mha_batched_axis1(E, h, x, w_in, b_in, w_out, b_out, drop, train):
+    """Self-attention over axis 1 of [B, T, K, E] with K as batch.
+
+    The fused kernel wants [B', dh, T] (tokens in lanes); producing that
+    from [B, T, K, E] is a single einsum per projection — the relayout is
+    absorbed into the matmul instead of a standalone transpose pass."""
+    dh = E // h
+    B, T, K, _ = x.shape
+
+    use_kernel = drop is None and attention_eligible(T, dh, B * K * h)
+    if use_kernel:
+        qkv = jnp.einsum(
+            "btke,fe->bkft", x, w_in.astype(x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)  # [B, K, 3E, T]
+        if b_in is not None:
+            qkv = qkv + b_in.astype(qkv.dtype)[None, None, :, None]
+        q3, k3, v3 = jnp.split(qkv, 3, axis=2)
+        o = fused_attention_bdt(
+            q3.reshape(B * K * h, dh, T),
+            k3.reshape(B * K * h, dh, T),
+            v3.reshape(B * K * h, dh, T),
+        ).reshape(B, K, E, T)
+        out = jnp.einsum(
+            "bket,ef->btkf", o, w_out.astype(o.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(o.dtype)  # back to [B, T, K, E] via the out-proj matmul
+        if b_out is not None:
+            out = out + b_out.astype(out.dtype)
+        return out
+
+    wq, wk, wv = jnp.split(w_in, 3, axis=0)
+    if b_in is not None:
+        bq, bk, bv = jnp.split(b_in, 3)
+    else:
+        bq = bk = bv = None
+
+    def proj(w, b):
+        y = jnp.einsum("btke,fe->btkf", x, w, preferred_element_type=x.dtype)
+        if b is not None:
+            y = y + b
+        return y.reshape(B, T, K, h, dh)
+
+    q, k, v = proj(wq, bq), proj(wk, bk), proj(wv, bv)
+    scale = 1.0 / np.sqrt(dh)
+    logits = jnp.einsum(
+        "bqkhd,btkhd->bkhqt", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    if drop is not None:
+        attn = drop(attn)
+    out = jnp.einsum("bkhqt,btkhd->bqkhd", attn, v, preferred_element_type=v.dtype)
+    out = out.reshape(B, T, K, E)
+    out = jnp.einsum(
+        "btke,ef->btkf", out, w_out.astype(out.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(out.dtype)
+    if b_out is not None:
+        out = out + b_out.astype(out.dtype)
+    return out
 
 
 def sinusoidal_positions(max_len: int, d_model: int, dtype=jnp.float32):

@@ -57,8 +57,48 @@ def main(config, bucket_seconds: float = 1.0, batch_size: int = 1):
 
     bucket = max(1, int(bucket_seconds * sr))
 
+    # --bf16: production inference precision (validated SI-SDRi delta vs
+    # f32 ≤ 0.02 dB, docs/PALLAS_VALIDATION.json "bf16_quality"); on TPU a
+    # standard-shape ConvTasNet additionally dispatches to the fused
+    # whole-separator Pallas kernel — the bench.py headline path, ~3.5×
+    # over the f32 XLA eval the reference runs (audio_test.py:72-79 there).
+    packed = None
+    use_bf16 = bool(config["main_args"].get("bf16"))
+    if use_bf16 and jax.default_backend() != "tpu":
+        # the CPU (test-mesh) backend has no bf16 dots — keep the flag a
+        # no-op there instead of crashing mid-eval
+        print_only("--bf16 requested but backend is not TPU; running f32")
+        use_bf16 = False
+    if use_bf16:
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+            params,
+        )
+        if (
+            jax.default_backend() == "tpu"
+            and isinstance(model, models.ConvTasNet)
+            and model.N == 512 and model.B == 128 and model.H == 512
+            and model.P == 3 and not model.causal
+            and model.activate in ("relu", "sigmoid")
+        ):
+            from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import (
+                pack_convtasnet_full_params,
+            )
+
+            packed = pack_convtasnet_full_params(
+                params, model.R, model.X, model.num_spks
+            )
+
     @jax.jit
     def forward(p, mix):
+        if use_bf16:
+            mix = mix.astype(jnp.bfloat16)
+        if packed is not None:
+            from audio_only_speech_separation_tpu.models.convtasnet import (
+                fused_inference_forward,
+            )
+
+            return fused_inference_forward(model, p, mix, packed=packed)
         return model.apply(p, mix)
 
     # sort by length so same-bucket utterances batch together (fewer XLA
@@ -73,7 +113,7 @@ def main(config, bucket_seconds: float = 1.0, batch_size: int = 1):
         mix_in = np.zeros((len(items), T_pad), np.float32)
         for j, (mix, _, _) in enumerate(items):
             mix_in[j, : mix.shape[-1]] = mix
-        est = np.asarray(forward(params, jnp.asarray(mix_in)))
+        est = np.asarray(forward(params, jnp.asarray(mix_in)), dtype=np.float32)
         for j, (mix, sources, key) in enumerate(items):
             T = mix.shape[-1]
             metrics(mix, sources, est[j, :, :T], key)
@@ -100,10 +140,17 @@ if __name__ == "__main__":
         "numbers)",
     )
     parser.add_argument("--batch-size", type=int, default=1)
+    parser.add_argument(
+        "--bf16", action="store_true",
+        help="bf16 inference (f32 matmul accumulation; SI-SDRi delta vs "
+        "f32 ≤ 0.02 dB) + the fused Pallas separator for standard-shape "
+        "ConvTasNet on TPU",
+    )
     args = parser.parse_args()
     with open(args.conf_dir) as f:
         config = yaml.safe_load(f)
     config.setdefault("main_args", {})
     config["main_args"].setdefault("exp_dir", os.path.dirname(args.conf_dir))
     config["main_args"]["pesq"] = args.pesq
+    config["main_args"]["bf16"] = args.bf16
     main(config, bucket_seconds=args.bucket_seconds, batch_size=args.batch_size)

@@ -24,7 +24,8 @@ import audio_only_speech_separation_tpu.models as M
 from audio_only_speech_separation_tpu.utils.profiling import count_params, estimate_cost
 
 CASES = [
-    # (name, model ctor, sample_rate, batch)
+    # (name, model ctor, sample_rate, batch[, fused])
+    ("ConvTasNet (lrs3) fused-Pallas", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 8, True),
     ("ConvTasNet (lrs3)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 8),
     ("TasNet-DPRNN (wsj0)", lambda: M.TasNet(enc_dim=64, bn_dim=64, hidden_dim=128, win=16, layer=6, num_spk=2, module="DPRNN", block_size=100, sample_rate=8000), 8000, 8),
     ("TasNet-DPTNet (wsj0)", lambda: M.TasNet(enc_dim=64, bn_dim=64, hidden_dim=128, win=16, layer=6, num_spk=2, module="DPTNet", block_size=100, sample_rate=8000), 8000, 8),
@@ -43,7 +44,7 @@ ITERS = 50  # amortize the ~30-70 ms axon tunnel scalar fetch below 2%
 V5E_BF16_PEAK = 197e12  # flop/s, one v5e chip
 
 
-def bench_one(name, ctor, sr, batch):
+def bench_one(name, ctor, sr, batch, fused=False):
     model = ctor()
     T = int(SECONDS * sr)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, T)).astype(np.float32))
@@ -59,6 +60,24 @@ def bench_one(name, ctor, sr, batch):
             return p, x.astype(jnp.bfloat16)
         return params, x
 
+    # the fused-Pallas ConvTasNet headline (bench.py's path) is swept here
+    # too so the table is regenerated from ONE run
+    fused_packed = None
+    if fused:
+        from audio_only_speech_separation_tpu.models.convtasnet import (
+            fused_inference_forward,
+        )
+        from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import (
+            pack_convtasnet_full_params,
+        )
+
+        fused_packed = pack_convtasnet_full_params(params, 3, 8, 3)
+
+    def apply_fn(p, m):
+        if fused_packed is not None:
+            return fused_inference_forward(model, p, m, packed=fused_packed)
+        return model.apply(p, m)
+
     def run_fori(dtype):
         p, xx = cast(dtype)
 
@@ -66,7 +85,7 @@ def bench_one(name, ctor, sr, batch):
         def loop(p, mix):
             def body(i, acc):
                 m = mix * (1.0 + 1e-9 * i.astype(mix.dtype))
-                return acc + model.apply(p, m).sum().astype(jnp.float32)
+                return acc + apply_fn(p, m).sum().astype(jnp.float32)
 
             return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
 
@@ -132,17 +151,35 @@ def main():
         except Exception as e:  # keep sweeping even if one model fails
             print(f"{case[0]}: FAILED ({type(e).__name__}: {str(e)[:200]})", flush=True)
     if args.out:
+        table = [
+            "| model | params | batch | ms/iter | audio-sec/s/chip | GFLOP/audio-sec | % v5e bf16 peak |",
+            "|---|---|---|---|---|---|---|",
+        ]
+        for name, n, b, ms, thr, gfas, mfu in rows:
+            table.append(
+                f"| {name} | {n/1e6:.2f}M | {b} | {ms:.1f} | {thr:.0f} "
+                f"| {gfas:.1f} | {mfu:.1f} |")
+        body = "\n".join(table)
+        START, END = "<!-- BENCH_TABLE_START -->", "<!-- BENCH_TABLE_END -->"
+        # replace only the marker-delimited span so the analysis prose in
+        # BENCHMARKS.md survives regeneration (ADVICE r2: regenerate the
+        # table without forking the docs)
+        try:
+            with open(args.out) as f:
+                old = f.read()
+        except OSError:
+            old = ""
+        if START in old and END in old:
+            pre, rest = old.split(START, 1)
+            _, post = rest.split(END, 1)
+            content = pre + START + "\n" + body + "\n" + END + post
+        else:
+            content = (
+                "# Inference benchmarks (bf16, 1 × TPU v5e, 2 s clips)\n\n"
+                + START + "\n" + body + "\n" + END + "\n"
+            )
         with open(args.out, "w") as f:
-            f.write("# Inference benchmarks (bf16, 1 × TPU v5e, 2 s clips)\n\n")
-            f.write("Honest axon timing: fori_loop-amortized, scalar-fetch-forced"
-                    " (see bench.py).  XLA path (no Pallas) except where noted;"
-                    " ConvTasNet's fused-Pallas headline lives in bench.py.\n\n")
-            f.write("| model | params | batch | ms/iter | audio-sec/s/chip | GFLOP/audio-sec | % v5e bf16 peak |\n")
-            f.write("|---|---|---|---|---|---|---|\n")
-            for name, n, b, ms, thr, gfas, mfu in rows:
-                f.write(
-                    f"| {name} | {n/1e6:.2f}M | {b} | {ms:.1f} | {thr:.0f} "
-                    f"| {gfas:.1f} | {mfu:.1f} |\n")
+            f.write(content)
         print(f"wrote {args.out}")
 
 

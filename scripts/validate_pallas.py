@@ -171,6 +171,44 @@ def validate_attention():
     return {"cases": cases, "ok": bool(ok)}
 
 
+def validate_mha_axis1():
+    """Layout-preserving 4-D MHA (Sandglasset blocks-0/5 path): the
+    kernel-dispatched [B, T, K, E] form vs (a) the transposed 3-D kernel
+    path and (b) the pure-einsum ground truth with the gate forced off."""
+    import audio_only_speech_separation_tpu.ops.attention as attn_mod
+
+    E, h, B, T, K = 128, 8, 2, 131, 250
+    m = attn_mod.MultiheadAttention(E, h)
+    x = jnp.asarray(rng.normal(size=(B, T, K, E)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(7), x)
+    xb = x.astype(jnp.bfloat16)
+    pb = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), params)
+
+    def run4(p, inp):
+        return m.apply(p, inp).astype(jnp.float32)
+
+    def run3(p, inp):
+        x3 = jnp.transpose(inp, (0, 2, 1, 3)).reshape(B * K, T, E)
+        o = m.apply(p, x3).reshape(B, K, T, E)
+        return jnp.transpose(o, (0, 2, 1, 3)).astype(jnp.float32)
+
+    got4 = np.asarray(jax.jit(run4)(pb, xb))
+    got3 = np.asarray(jax.jit(run3)(pb, xb))
+    gate = attn_mod.attention_eligible
+    attn_mod.attention_eligible = lambda *a, **k: False
+    try:
+        ref = np.asarray(jax.jit(run4)(pb, xb))
+    finally:
+        attn_mod.attention_eligible = gate
+    case = {
+        "shape": [B, T, K, E],
+        "vs_3d_kernel_max": float(np.abs(got4 - got3).max()),
+        "vs_einsum_max": float(np.abs(got4 - ref).max()),
+    }
+    case["ok"] = case["vs_3d_kernel_max"] < 2e-2 and case["vs_einsum_max"] < 2e-2
+    return case
+
+
 def validate_resident_bilstm():
     """Whole-sequence VMEM-resident (bi)LSTM vs the XLA formulation, at the
     dual-path shapes that dispatch to it (DPRNN row/col, DPTNet FFN,
@@ -336,6 +374,7 @@ def main():
         "tcn_kernel": validate_tcn(),
         "full_separator_kernel": validate_full_separator(),
         "attention_kernel": validate_attention(),
+        "mha_axis1": validate_mha_axis1(),
         "bilstm_kernel": validate_bilstm(),
         "resident_bilstm_kernel": validate_resident_bilstm(),
     }

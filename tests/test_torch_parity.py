@@ -190,3 +190,16 @@ class TestMHAParity:
         }
         got = m.apply(params, jnp.asarray(x))
         np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=2e-5)
+
+    def test_batched_axis1_matches_transposed(self, rng):
+        """4-D [B, T, K, E] self-attention (K batched, layout-preserving —
+        the Sandglasset blocks-0/5 path) must equal transposing to
+        [B·K, T, E] and running the 3-D path with the same params."""
+        E, h, B, T, K = 16, 4, 2, 9, 5
+        x = rng.normal(size=(B, T, K, E)).astype(np.float32)
+        m = MultiheadAttention(E, h)
+        params = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        got = m.apply(params, jnp.asarray(x))
+        x3 = jnp.transpose(jnp.asarray(x), (0, 2, 1, 3)).reshape(B * K, T, E)
+        want = m.apply(params, x3).reshape(B, K, T, E).transpose(0, 2, 1, 3)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
