@@ -180,3 +180,91 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
     s = s[:, win - pad_stride : s.shape[-1] - (rest + win - pad_stride)]
     out = s.reshape(Bsz, model.num_spks, -1)
     return restore_output(out, was_one_d)
+
+
+def fused_forward_eligible(model: ConvTasNet, backend: str | None = None) -> bool:
+    """Whether the whole-separator Pallas kernel serves this config."""
+    import jax as _jax
+
+    if backend is None:
+        backend = _jax.default_backend()
+    return (
+        backend == "tpu"
+        and model.N == 512
+        and model.B == 128
+        and model.H == 512
+        and model.P == 3
+        and not model.causal
+        and model.activate in ("relu", "sigmoid")
+    )
+
+
+def make_fused_train_apply(model: ConvTasNet):
+    """Training forward through the fused separator kernel.
+
+    Primal: the whole-separator Pallas kernel (bf16, ~3.5× the XLA
+    forward).  Backward: XLA recompute — ``jax.vjp`` of ``model.apply`` at
+    the same (params, mix), the standard efficient-forward/recompute-
+    backward pairing (the two forwards agree to bf16 tolerance, validated
+    in docs/PALLAS_VALIDATION.json).  Weight packing runs traced
+    (``pack_convtasnet_full_params_jnp``) so the primal consumes live
+    param tracers; no gradient flows through the pack.
+
+    Returns None when the kernel doesn't serve this config.  ConvTasNet
+    has no dropout (reference convtasnet.py:28-116), so train and eval
+    forwards coincide and the kernel is train-valid as-is.
+    """
+    import jax as _jax
+
+    if not fused_forward_eligible(model):
+        return None
+
+    from ..ops.pallas.convtasnet_block import (
+        fused_convtasnet_separator,
+        pack_convtasnet_full_params_jnp,
+    )
+    from ..ops.conv import frame_signal, overlap_add
+
+    def _primal(params, wav):
+        packed = pack_convtasnet_full_params_jnp(
+            params, model.R, model.X, model.num_spks
+        )
+        we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, dils = packed
+        x, was_one_d = normalize_input(wav)
+        x = x.astype(jnp.bfloat16)
+        win, pad_stride = model.L, model.L // 2
+        fb_stride = model.L // 4
+        Bsz, T = x.shape
+        rest = win - (pad_stride + T % win) % win
+        if rest > 0:
+            x = jnp.pad(x, ((0, 0), (0, rest)))
+        x = jnp.pad(x, ((0, 0), (win - pad_stride, win - pad_stride)))
+        frames = frame_signal(x, win, fb_stride)
+        times = frames.shape[1]
+        dec_frames = fused_convtasnet_separator(
+            frames, we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd,
+            dilations=dils, nspk=model.num_spks,
+            sigmoid=model.activate == "sigmoid",
+        )
+        s = overlap_add(
+            dec_frames.reshape(Bsz * model.num_spks, times, win), fb_stride
+        )
+        s = s[:, win - pad_stride : s.shape[-1] - (rest + win - pad_stride)]
+        out = s.reshape(Bsz, model.num_spks, -1)
+        return restore_output(out, was_one_d)
+
+    @_jax.custom_vjp
+    def fused_apply(params, wav):
+        return _primal(params, wav)
+
+    def _fwd(params, wav):
+        return _primal(params, wav), (params, wav)
+
+    def _bwd(res, g):
+        params, wav = res
+        _, vjp = _jax.vjp(lambda p, w: model.apply(p, w), params, wav)
+        dp, dw = vjp(g.astype(jnp.bfloat16) if g.dtype != jnp.bfloat16 else g)
+        return dp, dw
+
+    fused_apply.defvjp(_fwd, _bwd)
+    return fused_apply

@@ -545,6 +545,69 @@ def pack_convtasnet_full_params(params, R: int, X: int, num_spks: int):
     return we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, dils
 
 
+def pack_convtasnet_full_params_jnp(params, R: int, X: int, num_spks: int):
+    """Traced (jnp, f32) variant of ``pack_convtasnet_full_params`` for use
+    INSIDE jit — the training-forward path packs per step from live param
+    tracers (the folds are ~50 tiny contractions, negligible next to the
+    separator).  The offline packer folds in f64; this folds in f32, which
+    stays well inside the kernel's bf16 output tolerance (validated by
+    tests/test_pallas_kernels.py on-chip and the pack-parity CPU test)."""
+    p = params["params"] if "params" in params else params
+    f32 = jnp.float32
+
+    w1s, wsgs, vecs, cs, alphas, dils = [], [], [], [], [], []
+    for r in range(R):
+        for i in range(X):
+            blk = p[f"tcn_{r}_{i}"]
+            w1s.append(blk["conv1x1"]["kernel"].astype(f32))
+            ws = blk["sconv"]["kernel"].astype(f32)  # [512, 128]
+            g2 = blk["norm2"]["gamma"].astype(f32)
+            b2 = blk["norm2"]["beta"].astype(f32)
+            bs = blk["sconv"]["bias"].astype(f32)
+            wsgs.append(ws * g2[:, None])
+            cs.append(jnp.stack([b2 @ ws + bs, g2 @ ws]))
+            dw = blk["dwconv"]["Conv_0"]["kernel"].astype(f32)  # [3, 1, 512]
+            # rows in _B1/_DWB/_G1/_BT1/_DW0/_DW1/_DW2 order (row 7 unused)
+            vecs.append(
+                jnp.stack([
+                    blk["conv1x1"]["bias"].astype(f32),
+                    blk["dwconv"]["Conv_0"]["bias"].astype(f32),
+                    blk["norm1"]["gamma"].astype(f32),
+                    blk["norm1"]["beta"].astype(f32),
+                    dw[0, 0], dw[1, 0], dw[2, 0],
+                    jnp.zeros((512,), f32),
+                ])
+            )
+            alphas.append(
+                jnp.stack([blk["act1"]["alpha"][0], blk["act2"]["alpha"][0]])
+            )
+            dils.append(2**i)
+
+    g = p["bn_norm"]["gamma"].astype(f32)
+    bt = p["bn_norm"]["beta"].astype(f32)
+    wbn = p["bn_conv"]["kernel"].astype(f32)  # [512, 128]
+    bbn = p["bn_conv"]["bias"].astype(f32)
+
+    w1s = jnp.concatenate(
+        [jnp.zeros((1, 128, 512), f32), jnp.stack(w1s)]
+    ).astype(jnp.bfloat16)
+    wsgs = jnp.concatenate(
+        [(wbn * g[:, None])[None], jnp.stack(wsgs)]
+    ).astype(jnp.bfloat16)
+    vecs = jnp.concatenate([jnp.zeros((1, 8, 512), f32), jnp.stack(vecs)])
+    cs = jnp.concatenate(
+        [jnp.stack([bt @ wbn + bbn, g @ wbn])[None], jnp.stack(cs)]
+    )
+    alphas = jnp.concatenate(
+        [jnp.zeros((1, 2), f32), jnp.stack(alphas).astype(f32)]
+    )
+    we = p["encoder"]["kernel"].astype(jnp.bfloat16)
+    wm = p["mask_conv"]["kernel"].astype(jnp.bfloat16)
+    bm = p["mask_conv"]["bias"].astype(f32)[None, :]
+    wd = p["decoder"]["kernel"].astype(jnp.bfloat16)
+    return we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, tuple(dils)
+
+
 def pack_convtasnet_tcn_params(params, R: int, X: int):
     """Extract + pack the tcn_{r}_{i} params from a ConvTasNet param tree
     into the stacked arrays the fused kernel consumes.  The delayed-norm

@@ -83,6 +83,7 @@ class Trainer:
         precision: str = "float32",
         remat: bool = False,
         logger: Optional[BaseLogger] = None,
+        fused_forward: bool = False,
     ):
         self.exp_dir = exp_dir
         self.epochs = epochs
@@ -93,6 +94,9 @@ class Trainer:
         assert precision in ("float32", "bfloat16")
         self.precision = precision
         self.remat = remat
+        # opt-in: bf16 training forward through the fused separator kernel
+        # (custom VJP, XLA-recompute backward) where a model supports it
+        self.fused_forward = fused_forward
         es = dict(early_stop or {})
         es.setdefault("monitor", "val_loss/dataloader_idx_0")
         self.early_stop = EarlyStopping(**es)
@@ -135,11 +139,23 @@ class Trainer:
             # for HBM — lets long-utterance/large-batch configs fit
             train_apply = jax.checkpoint(train_apply)
 
+        fused_apply = None
+        if bf16 and self.fused_forward:
+            from ..models.convtasnet import ConvTasNet, make_fused_train_apply
+
+            if isinstance(model, ConvTasNet):
+                fused_apply = make_fused_train_apply(model)
+                # ConvTasNet has no dropout: the fused forward serves both
+                # train (custom VJP, XLA-recompute backward) and eval
+
         base_key = jax.random.PRNGKey(self.seed + 1)
 
         def _loss(params, batch, loss_func, rng=None):
             mix, sources = batch
-            fwd = eval_apply if rng is None else partial(train_apply, r=rng)
+            if fused_apply is not None:
+                fwd = fused_apply
+            else:
+                fwd = eval_apply if rng is None else partial(train_apply, r=rng)
             if bf16:
                 # mixed precision: bf16 forward/backward, f32 master params,
                 # loss always in f32 (the cast has a well-defined VJP)

@@ -127,6 +127,7 @@ def main(config):
         checkpoint={"monitor": "val_loss/dataloader_idx_0", "mode": "min", "save_top_k": 5},
         precision=config["training"].get("precision", "float32"),
         remat=bool(config["training"].get("remat", False)),
+        fused_forward=bool(config["training"].get("fused_forward", False)),
     )
     trainer.fit(system)
     print_only(f"Training finished; artifacts in {exp_dir}")

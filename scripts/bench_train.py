@@ -24,6 +24,7 @@ from audio_only_speech_separation_tpu.train import make_optimizer
 CASES = [
     ("ConvTasNet (lrs3, b8x2s)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 8, 3, "float32"),
     ("ConvTasNet (lrs3, b8x2s, bf16)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 8, 3, "bfloat16"),
+    ("ConvTasNet (lrs3, b8x2s, bf16+fusedfwd)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 8, 3, "bfloat16+fused"),
     ("TasNet-DPRNN (wsj0, b8x4s)", lambda: M.TasNet(enc_dim=64, bn_dim=64, hidden_dim=128, win=16, layer=6, num_spk=2, module="DPRNN", block_size=100, sample_rate=8000), 8000, 8, 2, "float32"),
     ("TasNet-DPRNN (wsj0, b8x4s, bf16)", lambda: M.TasNet(enc_dim=64, bn_dim=64, hidden_dim=128, win=16, layer=6, num_spk=2, module="DPRNN", block_size=100, sample_rate=8000), 8000, 8, 2, "bfloat16"),
     ("BSRNN (wsj0, b8x4s, bf16)", lambda: M.BSRNN(win=256, stride=64, feature_dim=128, num_spks=2, num_repeat=8, sample_rate=8000), 8000, 8, 2, "bfloat16"),
@@ -43,16 +44,24 @@ def bench_train(name, ctor, sr, batch, n_src, precision):
     loss_fn = PITLossWrapper(pairwise_neg_snr, threshold_byloss=False)
     tx = make_optimizer("adam", lr=1e-3, grad_clip=5.0)
     opt_state = tx.init(params)
-    bf16 = precision == "bfloat16"
+    bf16 = precision.startswith("bfloat16")
+    apply_fn = model.apply
+    if precision.endswith("+fused"):
+        from audio_only_speech_separation_tpu.models.convtasnet import (
+            make_fused_train_apply,
+        )
+
+        apply_fn = make_fused_train_apply(model)
+        assert apply_fn is not None, "fused train forward not eligible here"
 
     def loss(p, m, t):
         if bf16:
             pb = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, p
             )
-            est = model.apply(pb, m.astype(jnp.bfloat16)).astype(jnp.float32)
+            est = apply_fn(pb, m.astype(jnp.bfloat16)).astype(jnp.float32)
         else:
-            est = model.apply(p, m)
+            est = apply_fn(p, m)
         return loss_fn(est, t)
 
     @jax.jit
