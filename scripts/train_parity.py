@@ -173,6 +173,23 @@ def run(
         )
         ref_name, conv_kw = "TasNet", dict(layer=2)
         ours_cls = our_models.TasNet
+    elif model_key == "dptnet":
+        width = 64 if scale == "converged" else 32
+        kw = dict(
+            enc_dim=width, bn_dim=width // 2, hidden_dim=width // 2, win=16,
+            layer=2, num_spk=2, module="DPTNet", group_size=1, block_size=24,
+            sample_rate=8000, unfold=False,
+        )
+        ref_name, conv_kw = "TasNet", dict(layer=2, module="DPTNet")
+        ours_cls = our_models.TasNet
+    elif model_key == "bsrnn":
+        fd = 16 if scale == "converged" else 8
+        kw = dict(
+            win=256, stride=64, feature_dim=fd, num_spks=2, num_layer=1,
+            num_repeat=2, sample_rate=8000,
+        )
+        ref_name, conv_kw = "BSRNN", dict(nband=8, num_repeat=2)
+        ours_cls = our_models.BSRNN
     else:
         raise ValueError(model_key)
 
@@ -184,7 +201,11 @@ def run(
 
     ref_model, init_sd, ref_losses = train_torch(ref_name, kw, train_batches, epochs, lr)
     ours = ours_cls(**kw)
-    params = convert("TasNet" if model_key == "dprnn" else "ConvTasNet", init_sd, **conv_kw)
+    conv_name = {
+        "convtasnet": "ConvTasNet", "dprnn": "TasNet",
+        "dptnet": "TasNetFull", "bsrnn": "BSRNN",
+    }[model_key]
+    params = convert(conv_name, init_sd, **conv_kw)
     params, our_losses = train_jax(
         ours, params, [(jnp.asarray(m), jnp.asarray(s)) for m, s in train_batches],
         epochs, lr,
@@ -241,9 +262,9 @@ def main():
     args = ap.parse_args()
 
     # epoch budgets sized so both frameworks pass 10 dB held-in SI-SDRi
-    budgets = {"convtasnet": 400, "dprnn": 150}
+    budgets = {"convtasnet": 400, "dprnn": 150, "dptnet": 150, "bsrnn": 300}
     results = {}
-    for key in ("convtasnet", "dprnn"):
+    for key in ("convtasnet", "dprnn", "dptnet", "bsrnn"):
         r = run(
             key, epochs=args.epochs or budgets[key], scale="converged", lr=2e-3
         )
