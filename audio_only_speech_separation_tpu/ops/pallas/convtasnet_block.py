@@ -95,7 +95,15 @@ def _kernel(
     Tpad: int,
     nspk: int = 0,
     sigmoid: bool = False,
+    ablate: Sequence[str] = (),
 ):
+    # ``ablate`` is a perf-diagnosis knob (scripts/kernel_ablation.py ONLY —
+    # ablated kernels compute garbage): each token statically removes one
+    # phase of work so on-chip timing deltas attribute the kernel's cost.
+    #   p1stats / p2stats — skip the gLN reductions (constant mean/rstd)
+    #   dw                — skip the shifted taps (t = mid only)
+    #   mm2               — skip P2's pending matmul (slice-copy instead)
+    #   prelu             — skip both PReLU selects
     full = nspk > 0
     if full:
         (f_ref, we_ref, w1_hbm, wsg_hbm, vec_hbm, c_ref, wm_ref, bm_ref,
@@ -229,13 +237,16 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             )
             ht = ht + b1v[None, :]
-            ht = jnp.where(ht >= 0, ht, a1 * ht)
+            if "prelu" not in ablate:
+                ht = jnp.where(ht >= 0, ht, a1 * ht)
             if masked:
                 row = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
                 ht = jnp.where(row < T, ht, 0.0)
             h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :] = ht.astype(
                 jnp.bfloat16
             )
+            if "p1stats" in ablate:
+                return jnp.float32(0.0), jnp.float32(0.0)
             return jnp.sum(ht), jnp.sum(ht * ht)
 
         def p1_body(i, carry):
@@ -248,8 +259,11 @@ def _kernel(
         )
         ds_, dq = p1_tile(n_tiles - 1, masked=True)
         s1, q1 = s1 + ds_, q1 + dq
-        mean1 = s1 * inv_count
-        rstd1 = jax.lax.rsqrt(q1 * inv_count - mean1 * mean1 + eps)
+        if "p1stats" in ablate:
+            mean1, rstd1 = jnp.float32(0.0), jnp.float32(1.0)
+        else:
+            mean1 = s1 * inv_count
+            rstd1 = jax.lax.rsqrt(q1 * inv_count - mean1 * mean1 + eps)
         # fold gLN-1 (per-channel affine) into the depthwise taps:
         # norm1(h) = h·sc1 + sh1;  dw(norm1 h) = Σₖ(dwₖ·sc1)⊙h_±d + (Σₖdwₖ)·sh1 + dwb
         sc1 = vec_ref[_G1, :] * rstd1  # [512]
@@ -279,27 +293,36 @@ def _kernel(
             prev = h_ref[pl.ds(pl.multiple_of(i * TILE, PAD), PAD), :]
             nxt = h_ref[pl.ds(pl.multiple_of(PAD + (i + 1) * TILE, PAD), PAD), :]
             midf = mid.astype(jnp.float32)
-            prevf = prev.astype(jnp.float32)
-            nxtf = nxt.astype(jnp.float32)
-            left = jnp.concatenate([prevf[PAD - d :], midf[: TILE - d]], axis=0)
-            right = jnp.concatenate([midf[d:], nxtf[:d]], axis=0)
-            t = left * dw0[None, :] + midf * dw1[None, :] + right * dw2[None, :]
-            t = t + dwb[None, :]
+            if "dw" in ablate:
+                t = midf * dw1[None, :] + dwb[None, :]
+            else:
+                prevf = prev.astype(jnp.float32)
+                nxtf = nxt.astype(jnp.float32)
+                left = jnp.concatenate([prevf[PAD - d :], midf[: TILE - d]], axis=0)
+                right = jnp.concatenate([midf[d:], nxtf[:d]], axis=0)
+                t = left * dw0[None, :] + midf * dw1[None, :] + right * dw2[None, :]
+                t = t + dwb[None, :]
             if first or tail_corr:
                 rowv = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
             if first:
                 t = t - jnp.where(rowv < d, corr_l[None, :], 0.0)
             if tail_corr:
                 t = t - jnp.where(rowv >= T - d, corr_r[None, :], 0.0)
-            t = jnp.where(t >= 0, t, a2 * t)
+            if "prelu" not in ablate:
+                t = jnp.where(t >= 0, t, a2 * t)
             if tail_corr:
                 t = jnp.where(rowv < T, t, 0.0)
-            r = jax.lax.dot_general(
-                t.astype(jnp.bfloat16), wsg_ref[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            p_ref[pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :] = r
+            if "mm2" in ablate:
+                p_ref[pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :] = t[:, :128]
+            else:
+                r = jax.lax.dot_general(
+                    t.astype(jnp.bfloat16), wsg_ref[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                p_ref[pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :] = r
+            if "p2stats" in ablate:
+                return jnp.float32(0.0), jnp.float32(0.0)
             return jnp.sum(t), jnp.sum(t * t)
 
         # exact static extents: corr_l lives in rows < d (tile 0 only, since
@@ -324,8 +347,11 @@ def _kernel(
         for i in range(first_tail, n_tiles):
             ds_, dq = p2_tile(i, first=(i == 0), tail_corr=True)
             s2, q2 = s2 + ds_, q2 + dq
-        mean2 = s2 * inv_count
-        rstd2_prev = jax.lax.rsqrt(q2 * inv_count - mean2 * mean2 + eps)
+        if "p2stats" in ablate:
+            mean2, rstd2_prev = jnp.float32(0.0), jnp.float32(1.0)
+        else:
+            mean2 = s2 * inv_count
+            rstd2_prev = jax.lax.rsqrt(q2 * inv_count - mean2 * mean2 + eps)
         shift_prev = c_ref[b, 0, :] - mean2 * rstd2_prev * c_ref[b, 1, :]
 
     if full:
@@ -435,7 +461,8 @@ def fused_tcn_separator(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dilations", "nspk", "sigmoid", "T_valid")
+    jax.jit,
+    static_argnames=("dilations", "nspk", "sigmoid", "T_valid", "ablate"),
 )
 def fused_convtasnet_separator(
     frames: jnp.ndarray,  # [B, T', win] bf16 encoder frames
@@ -452,6 +479,7 @@ def fused_convtasnet_separator(
     nspk: int,
     sigmoid: bool = False,
     T_valid: int | None = None,
+    ablate: Sequence[str] = (),
 ):
     """Whole-separator fused forward: encoder matmul → bottleneck gLN+1×1 →
     R×X TCN blocks → mask head → mask×enc → decoder frames, ONE kernel.
@@ -469,7 +497,7 @@ def fused_convtasnet_separator(
 
     kernel = functools.partial(
         _kernel, dilations=tuple(dilations), T=T_valid, Tpad=Tpad,
-        nspk=nspk, sigmoid=sigmoid,
+        nspk=nspk, sigmoid=sigmoid, ablate=tuple(ablate),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # alphas
