@@ -39,27 +39,34 @@ MAX_T_PAD = 1024  # logits [G, T_pad, T_pad] f32 must fit comfortably in VMEM
 _NEG = -1e9
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, T: int, scale: float):
-    q = q_ref[:]  # [G, dh, Tp]
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, T: int, Tq: int, scale: float):
+    # Tq = round_up(T, 8) ≤ Tp: the query axis is SUBLANES in the logits, so
+    # slicing q to the valid rows (sublane granularity 8) before the dot
+    # shrinks the f32 logits buffer and — the dominant VPU cost — the
+    # softmax by Tq/Tp (47 % at Sandglasset's S=131→256 lane padding).
+    # Key lanes can't be cut the same way (128-lane vreg granularity), so
+    # padded keys are still masked below.  o lanes ≥ Tq are never written —
+    # the caller slices to :T.
+    q = q_ref[:, :, :Tq]  # [G, dh, Tq]
     k = k_ref[:]
     v = v_ref[:]
-    Tp = q.shape[-1]
+    Tp = k.shape[-1]
     logits = jax.lax.dot_general(
         q,
         k,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),  # contract dh
         preferred_element_type=jnp.float32,
-    ) * scale  # [G, Tp(q), Tp(k)] f32
+    ) * scale  # [G, Tq(q), Tp(k)] f32
     if T < Tp:
         col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
         logits = jnp.where(col < T, logits, _NEG)
     attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    o_ref[:] = jax.lax.dot_general(
+    o_ref[:, :, :Tq] = jax.lax.dot_general(
         v,
         attn,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),  # contract Tp(k)
         preferred_element_type=jnp.float32,
-    ).astype(v.dtype)  # [G, dh, Tp(q)]
+    ).astype(v.dtype)  # [G, dh, Tq(q)]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -78,10 +85,11 @@ def _pallas_attention_bdt(q, k, v):
     BH, dh, T = q.shape
     scale = 1.0 / float(np.sqrt(dh))
     Tp = _round_up(T, 128)
-    # VMEM budget: the f32 [G, Tp, Tp] logits are the big buffer — cap ~8 MB
+    Tq = min(_round_up(T, 8), Tp)  # valid query rows, f32 sublane granular
+    # VMEM budget: the f32 [G, Tq, Tp] logits are the big buffer — cap ~8 MB
     # (more heads per program amortizes the ~µs per-program overhead, which
     # dominates at huge head counts like Sandglasset's BH=16k, dh=16)
-    G = max(1, min(HEADS_PER_BLOCK, (8 << 20) // (Tp * Tp * 4)))
+    G = max(1, min(HEADS_PER_BLOCK, (8 << 20) // (Tq * Tp * 4)))
     while BH % G:
         G -= 1
     if T < Tp:
@@ -89,7 +97,7 @@ def _pallas_attention_bdt(q, k, v):
         q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
     spec = pl.BlockSpec((G, dh, Tp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, T=T, scale=scale),
+        functools.partial(_kernel, T=T, Tq=Tq, scale=scale),
         grid=(BH // G,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
