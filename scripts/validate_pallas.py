@@ -21,7 +21,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+REPO_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, REPO_ROOT)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
 
 import jax
@@ -360,7 +361,11 @@ def bf16_quality_study(steps=300):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="skip the training study")
-    ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--out",
+        default=os.path.join(REPO_ROOT, "docs", "PALLAS_VALIDATION.json"),
+        help="artifact path ('' to print only)",
+    )
     args = ap.parse_args()
 
     from audio_only_speech_separation_tpu.utils.kernel_hashes import (
