@@ -169,10 +169,15 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
 
     frames = frame_signal(x, win, fb_stride)  # [B, T', win]
     times = frames.shape[1]
+    # alphas are concrete here (offline pack): when every PReLU alpha ≤ 1,
+    # the kernel lowers prelu as max(x, a·x) — one VPU op fewer per pass
+    import numpy as _np
+
+    prelu_max = bool(_np.all(_np.asarray(alphas) <= 1.0))
     dec_frames = fused_convtasnet_separator(
         frames, we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd,
         dilations=dils, nspk=model.num_spks,
-        sigmoid=model.activate == "sigmoid",
+        sigmoid=model.activate == "sigmoid", prelu_max=prelu_max,
     )  # [B, spk, T', win]
     s = overlap_add(
         dec_frames.reshape(Bsz * model.num_spks, times, win), fb_stride

@@ -41,7 +41,12 @@ Mosaic requires dynamically indexed VMEM loads to be tile-aligned, so the
 dilated depthwise conv loads the aligned mid tile plus two aligned 128-row
 neighbor strips and builds the ±d shifts with STATIC in-register slices
 (dilations are compile-time constants; halo PAD = 128 ≥ 2^7).  gLN
-statistics are computed in f32; activations are stored bf16.
+statistics are computed in f32.  The h scratch is f32-resident (round 3b:
+storing h bf16 saved VMEM but cost a convert on the P1 store and another
+on every P2 read — dropping them was worth ~4 % of the kernel; the ±8.7 MB
+sits comfortably in v5e VMEM).  y and enc stay bf16 (they feed MXU dots
+directly).  PReLU lowers to max(x, a·x) when every alpha ≤ 1 — checked at
+pack time (``prelu_max``); the compare+select general form otherwise.
 
 Numerical contract matches models.convtasnet.Conv1DBlock (gLN, torch PReLU
 single-alpha, eps 1e-8) to bf16 tolerance — verified on-chip by
@@ -95,6 +100,7 @@ def _kernel(
     Tpad: int,
     nspk: int = 0,
     sigmoid: bool = False,
+    prelu_max: bool = False,
     ablate: Sequence[str] = (),
 ):
     # ``ablate`` is a perf-diagnosis knob (scripts/kernel_ablation.py ONLY —
@@ -104,6 +110,14 @@ def _kernel(
     #   dw                — skip the shifted taps (t = mid only)
     #   mm2               — skip P2's pending matmul (slice-copy instead)
     #   prelu             — skip both PReLU selects
+    # PReLU lowering: the general form is compare+select+mul (3 VPU ops);
+    # when every alpha ≤ 1 (checked at pack time from concrete weights),
+    # prelu(x) = max(x, a·x) — mul+max, one op fewer per activation pass.
+    def _prelu(x, a):
+        if prelu_max:
+            return jnp.maximum(x, a * x)
+        return jnp.where(x >= 0, x, a * x)
+
     full = nspk > 0
     if full:
         (f_ref, we_ref, w1_hbm, wsg_hbm, vec_hbm, c_ref, wm_ref, bm_ref,
@@ -128,8 +142,8 @@ def _kernel(
 
     # zero the halos once per sample; the tail rows [T, Tpad) are written as
     # zeros by P1's row mask every block
-    h_ref[0:PAD, :] = jnp.zeros((PAD, 512), jnp.bfloat16)
-    h_ref[PAD + Tpad : PAD + Tpad + PAD, :] = jnp.zeros((PAD, 512), jnp.bfloat16)
+    h_ref[0:PAD, :] = jnp.zeros((PAD, 512), jnp.float32)
+    h_ref[PAD + Tpad : PAD + Tpad + PAD, :] = jnp.zeros((PAD, 512), jnp.float32)
 
     if not full:
         # y starts as x (the residual accumulator lives in y)
@@ -238,13 +252,11 @@ def _kernel(
             )
             ht = ht + b1v[None, :]
             if "prelu" not in ablate:
-                ht = jnp.where(ht >= 0, ht, a1 * ht)
+                ht = _prelu(ht, a1)
             if masked:
                 row = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
                 ht = jnp.where(row < T, ht, 0.0)
-            h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :] = ht.astype(
-                jnp.bfloat16
-            )
+            h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :] = ht
             if "p1stats" in ablate:
                 return jnp.float32(0.0), jnp.float32(0.0)
             return jnp.sum(ht), jnp.sum(ht * ht)
@@ -289,15 +301,19 @@ def _kernel(
             # since d ≤ PAD ≤ TILE); ``tail_corr`` applies corr_r + the ≥T
             # zero mask (rows ≥ T−d).  Tiles with neither flag skip the
             # iota/select work entirely.
-            mid = h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :]
-            prev = h_ref[pl.ds(pl.multiple_of(i * TILE, PAD), PAD), :]
-            nxt = h_ref[pl.ds(pl.multiple_of(PAD + (i + 1) * TILE, PAD), PAD), :]
-            midf = mid.astype(jnp.float32)
+            midf = h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :]
             if "dw" in ablate:
                 t = midf * dw1[None, :] + dwb[None, :]
             else:
-                prevf = prev.astype(jnp.float32)
-                nxtf = nxt.astype(jnp.float32)
+                # NOTE (measured negative result): replacing the concat-built
+                # shifts with direct sublane-aligned h_ref loads at ±d for
+                # d % 8 == 0 is ~3 % SLOWER — the concats lower to vreg
+                # selection over already-loaded data, while direct loads add
+                # two full-tile load+convert streams.
+                prevf = h_ref[pl.ds(pl.multiple_of(i * TILE, PAD), PAD), :]
+                nxtf = h_ref[
+                    pl.ds(pl.multiple_of(PAD + (i + 1) * TILE, PAD), PAD), :
+                ]
                 left = jnp.concatenate([prevf[PAD - d :], midf[: TILE - d]], axis=0)
                 right = jnp.concatenate([midf[d:], nxtf[:d]], axis=0)
                 t = left * dw0[None, :] + midf * dw1[None, :] + right * dw2[None, :]
@@ -309,7 +325,7 @@ def _kernel(
             if tail_corr:
                 t = t - jnp.where(rowv >= T - d, corr_r[None, :], 0.0)
             if "prelu" not in ablate:
-                t = jnp.where(t >= 0, t, a2 * t)
+                t = _prelu(t, a2)
             if tail_corr:
                 t = jnp.where(rowv < T, t, 0.0)
             if "mm2" in ablate:
@@ -439,7 +455,7 @@ def fused_tcn_separator(
             (1, Tpad, Cb), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((PAD + Tpad + PAD, 512), jnp.bfloat16),
+            pltpu.VMEM((PAD + Tpad + PAD, 512), jnp.float32),
             pltpu.VMEM((Tpad, 128), jnp.float32),
             pltpu.VMEM((2, 128, 512), jnp.bfloat16),
             pltpu.VMEM((2, 512, 128), jnp.bfloat16),
@@ -462,7 +478,9 @@ def fused_tcn_separator(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("dilations", "nspk", "sigmoid", "T_valid", "ablate"),
+    static_argnames=(
+        "dilations", "nspk", "sigmoid", "T_valid", "prelu_max", "ablate"
+    ),
 )
 def fused_convtasnet_separator(
     frames: jnp.ndarray,  # [B, T', win] bf16 encoder frames
@@ -479,6 +497,7 @@ def fused_convtasnet_separator(
     nspk: int,
     sigmoid: bool = False,
     T_valid: int | None = None,
+    prelu_max: bool = False,
     ablate: Sequence[str] = (),
 ):
     """Whole-separator fused forward: encoder matmul → bottleneck gLN+1×1 →
@@ -497,7 +516,7 @@ def fused_convtasnet_separator(
 
     kernel = functools.partial(
         _kernel, dilations=tuple(dilations), T=T_valid, Tpad=Tpad,
-        nspk=nspk, sigmoid=sigmoid, ablate=tuple(ablate),
+        nspk=nspk, sigmoid=sigmoid, prelu_max=prelu_max, ablate=tuple(ablate),
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # alphas
@@ -520,7 +539,7 @@ def fused_convtasnet_separator(
         scratch_shapes=[
             pltpu.VMEM((Tpad, 512), jnp.bfloat16),  # enc
             pltpu.VMEM((Tpad, 128), jnp.bfloat16),  # y
-            pltpu.VMEM((PAD + Tpad + PAD, 512), jnp.bfloat16),  # h
+            pltpu.VMEM((PAD + Tpad + PAD, 512), jnp.float32),  # h
             pltpu.VMEM((Tpad, 128), jnp.float32),  # p
             pltpu.VMEM((2, 128, 512), jnp.bfloat16),
             pltpu.VMEM((2, 512, 128), jnp.bfloat16),
