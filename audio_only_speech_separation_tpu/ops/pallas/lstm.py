@@ -209,13 +209,14 @@ fused_bilstm.defvjp(_fb_fwd, _fb_bwd)
 
 
 def _res_kernel(
-    x_ref,  # VMEM [T, Bp, Din] bf16 (original time order, ONE copy)
+    x_ref,  # VMEM [BT, T, Din] bf16 (BATCH-major — the caller's layout)
     wih_ref,  # VMEM [D, Din, 4H] bf16
     whh_ref,  # VMEM [D, H, 4H] bf16
     b_ref,  # VMEM [D, 4H] f32 (zeros when the layer has no bias)
     o_ref,  # VMEM [T, D, Bp, H] bf16 — time-ALIGNED for both directions
     h_scr,  # VMEM [D, Bp, H] bf16
     c_scr,  # VMEM [D, Bp, H] bf16
+    xs_scr,  # VMEM [T, Bp, Din] bf16 — time-major transposed copy of x
     *,
     T: int,
     H: int,
@@ -223,6 +224,19 @@ def _res_kernel(
 ):
     h_scr[...] = jnp.zeros_like(h_scr)
     c_scr[...] = jnp.zeros_like(c_scr)
+
+    # Transpose x to time-major IN VMEM (statically unrolled slices — every
+    # index is a Python int, so no alignment constraints apply).  Before
+    # round 3b the caller did this with jnp.swapaxes + batch-pad in XLA: two
+    # full HBM round-trips of the big chunk tensor per block (~0.8 ms each
+    # at Sandglasset's 67 MB shapes); in-VMEM the same movement rides the
+    # ~20× VMEM bandwidth and the HBM DMA reads the natural [B, T, D]
+    # layout contiguously.
+    for j in range((T + 7) // 8):
+        hi = min(8 * j + 8, T)
+        tile = x_ref[:, 8 * j : hi, :]  # [BT, <=8, Din]
+        for k in range(hi - 8 * j):
+            xs_scr[8 * j + k] = tile[:, k, :]
 
     def step(t, _):
         # the input projection runs per step IN-KERNEL ([B,Din]·[Din,4H] is
@@ -233,7 +247,7 @@ def _res_kernel(
         # chokes on concat operands (vector_extract_slice check failure).
         for d in range(D):
             ti = t if d == 0 else T - 1 - t
-            xt = x_ref[ti]  # [B, Din]
+            xt = xs_scr[ti]  # [B, Din]
             xw = jax.lax.dot_general(
                 xt, wih_ref[d],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -268,7 +282,9 @@ def _res_batch_tile(T: int, B: int, Din: int, H: int, D: int) -> int:
     sequence on its tile; BT is then shrunk to equalize tiles (minimal
     padding waste)."""
     lane = lambda n: _round_up(n, 128)  # noqa: E731
-    per_row = T * 2 * (lane(Din) + D * lane(H) + 1) * 2  # 2 buffering levels
+    # x block + out block double-buffered by the grid pipeline, plus the
+    # single-buffered time-major xs scratch
+    per_row = T * 2 * (lane(Din) + D * lane(H) + 1) * 2 + T * 2 * lane(Din)
     bt_max = (RES_VMEM_BUDGET // per_row) // 8 * 8
     Bp = _round_up(B, 8)
     if bt_max <= 8:
@@ -280,23 +296,29 @@ def _res_batch_tile(T: int, B: int, Din: int, H: int, D: int) -> int:
 
 
 def _pallas_resident_bilstm(x, w_ih, w_hh, bias):
-    """x [T, B, Din] (original time order) → hidden states [T, D, B, H],
-    both directions aligned to input time order.  Batches larger than the
-    VMEM budget are tiled across a sequential grid."""
-    T, B, Din = x.shape
+    """x [B, T, Din] (BATCH-major — the caller's natural layout) → hidden
+    states [T, D, B, H], both directions aligned to input time order.
+    Batches larger than the VMEM budget are tiled across a sequential grid.
+
+    Round 3b: the kernel used to take time-major [T, B, Din], so every call
+    site paid a full-tensor swapaxes copy plus a batch-pad copy in XLA
+    (~0.8 ms per Sandglasset block).  Now the x block DMAs straight from
+    the batch-major tensor (contiguous rows) and the time-major transpose
+    happens in VMEM inside the kernel."""
+    B, T, Din = x.shape
     D, H4 = w_hh.shape[0], w_hh.shape[2]
     H = H4 // 4
     BT = _res_batch_tile(T, B, Din, H, D)
     Bp = _round_up(B, BT)
     if Bp != B:
-        x = jnp.pad(x, ((0, 0), (0, Bp - B), (0, 0)))
+        x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
     if bias is None:
         bias = jnp.zeros((D, H4), jnp.float32)
     out = pl.pallas_call(
         functools.partial(_res_kernel, T=T, H=H, D=D),
         grid=(Bp // BT,),
         in_specs=[
-            pl.BlockSpec((T, BT, Din), lambda b: (0, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((BT, T, Din), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -308,6 +330,7 @@ def _pallas_resident_bilstm(x, w_ih, w_hh, bias):
         scratch_shapes=[
             pltpu.VMEM((D, BT, H), jnp.bfloat16),
             pltpu.VMEM((D, BT, H), jnp.bfloat16),
+            pltpu.VMEM((T, BT, Din), jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
     )(
@@ -321,19 +344,24 @@ def _pallas_resident_bilstm(x, w_ih, w_hh, bias):
 
 def _xla_resident_ref(x, w_ih, w_hh, bias):
     """XLA formulation of resident_bilstm (parity oracle + VJP backward):
-    identical math to ops/rnn.bilstm_scan, returning [T, D, B, H] aligned."""
+    identical math to ops/rnn.bilstm_scan, x BATCH-major [B, T, Din],
+    returning [T, D, B, H] time-aligned."""
     D = w_hh.shape[0]
     if D == 2:
-        xx = jnp.stack([x, x[::-1]], axis=0)  # [2, T, B, Din]
+        xx = jnp.stack([x, x[:, ::-1]], axis=0)  # [2, B, T, Din]
     else:
         xx = x[None]
+    # pure contraction (the CPU backend rejects bf16 dots with transposed
+    # output); this path is the parity oracle / VJP backward, so the
+    # explicit transpose copy is acceptable
     xw = jnp.einsum(
-        "ktbd,kdg->ktbg", xx, w_ih.astype(x.dtype),
+        "kbtd,kdg->kbtg", xx, w_ih.astype(x.dtype),
         preferred_element_type=jnp.float32,
     ).astype(x.dtype)
+    xw = jnp.transpose(xw, (2, 0, 1, 3))  # [T, D, B, 4H]
     if bias is not None:
-        xw = xw + bias[:, None, None, :].astype(x.dtype)
-    hs = _xla_bilstm(jnp.moveaxis(xw, 1, 0), w_hh)  # [T, D, B, H]
+        xw = xw + bias[None, :, None, :].astype(x.dtype)
+    hs = _xla_bilstm(xw, w_hh)  # [T, D, B, H]
     if D == 2:
         hs = jnp.stack([hs[:, 0], hs[::-1, 1]], axis=1)
     return hs
@@ -341,7 +369,7 @@ def _xla_resident_ref(x, w_ih, w_hh, bias):
 
 @jax.custom_vjp
 def resident_bilstm(x, w_ih, w_hh, bias):
-    """Whole-sequence VMEM-resident (bi)LSTM: x [T, B, Din] → [T, D, B, H].
+    """Whole-sequence VMEM-resident (bi)LSTM: x [B, T, Din] → [T, D, B, H].
 
     Unlike ``fused_bilstm`` this consumes the UNPROJECTED input — the
     [Din → 4H] projection happens per step in-kernel, so the [T, D, B, 4H]
@@ -368,7 +396,12 @@ def _rb_bwd(res, g):
 
 resident_bilstm.defvjp(_rb_fwd, _rb_bwd)
 
-RES_VMEM_BUDGET = 88 * 1024 * 1024
+# 98 MB: the batch-major variant adds a single-buffered [T, BT, Din] xs
+# scratch on top of the double-buffered x/out blocks; v5e VMEM holds ~128 MB
+# and the convtasnet kernel already runs at a 100 MB limit.  At Sandglasset's
+# intra shape (T=250, B=1048, Din=128, H=128) this keeps BT at 216 (5 tiles),
+# ≥ the 192 eligibility floor.
+RES_VMEM_BUDGET = 98 * 1024 * 1024
 
 
 def resident_eligible(

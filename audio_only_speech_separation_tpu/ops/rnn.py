@@ -45,10 +45,9 @@ def lstm_scan(
     B, T, D = x.shape
     H = w_hh.shape[0]
     if resident_eligible(T, B, D, H, 1, x.dtype):
-        # whole-sequence VMEM-resident kernel (projection in-kernel)
-        xt = jnp.swapaxes(x, 0, 1)  # [T, B, D]
-        if reverse:
-            xt = xt[::-1]
+        # whole-sequence VMEM-resident kernel (projection in-kernel);
+        # consumes x batch-major
+        xt = x[:, ::-1] if reverse else x
         hs = resident_bilstm(
             xt, w_ih[None], w_hh[None], None if bias is None else bias[None]
         )[:, 0]
@@ -126,9 +125,9 @@ def bilstm_scan(
         return jnp.swapaxes(jnp.concatenate([fwd, bwd], axis=-1), 0, 1)
 
     if resident_eligible(T, B, D, H, 2, x.dtype):
-        # whole-sequence VMEM-resident kernel: x goes in ONCE in original
-        # time order; both directions come back time-aligned
-        hs = resident_bilstm(jnp.swapaxes(x, 0, 1), w_ih, w_hh, bias)
+        # whole-sequence VMEM-resident kernel: consumes x batch-major as-is
+        # (no transpose/pad copies); both directions come back time-aligned
+        hs = resident_bilstm(x, w_ih, w_hh, bias)
         return finish(hs[:, 0], hs[:, 1])
     # Stack forward and time-reversed copies on a direction axis; the einsum
     # emits xw TIME-major directly ("tkbg"), so no [T,2,B,4H]-sized moveaxis

@@ -109,7 +109,7 @@ def measure_bilstm():
             return pl_lstm.fused_bilstm(xw, w_hh)
 
         def resident(x):
-            return pl_lstm.resident_bilstm(jnp.swapaxes(x, 0, 1), w_ih, w_hh, None)
+            return pl_lstm.resident_bilstm(x, w_ih, w_hh, None)
 
         t_scan = timeit(xla_scan, x)
         t_chunk = timeit(chunked, x) if H % 128 == 0 else float("nan")

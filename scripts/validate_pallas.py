@@ -227,7 +227,7 @@ def validate_resident_bilstm():
         (40, 800, 64, 128, 1),    # unidirectional col variant
     ]:
         x = jnp.asarray(
-            (rng.normal(size=(T, B, Din)) * 0.5).astype(np.float32)
+            (rng.normal(size=(B, T, Din)) * 0.5).astype(np.float32)
         ).astype(jnp.bfloat16)
         wih = jnp.asarray(
             (rng.normal(size=(D, Din, 4 * H)) * 0.08).astype(np.float32)
