@@ -129,8 +129,8 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
     ops/pallas/convtasnet_block.py).  XLA only frames the padded signal and
     overlap-adds the returned decoder frames, so HBM sees the [B, T', L]
     frames once in and the [B, spk, T', L] masked frames once out.  Only
-    the standard config shape (N=512, B=128, H=512, P=3) is supported;
-    anything else falls back to ``model.apply``.
+    lane-aligned shapes (N == H, N/B multiples of 128, P=3, X ≤ 8) are
+    supported; anything else falls back to ``model.apply``.
 
     ``packed`` (from ``pack_convtasnet_full_params``) can be precomputed
     once to avoid re-packing weights per call.
@@ -140,14 +140,7 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
         pack_convtasnet_full_params,
     )
 
-    if not (
-        model.N == 512
-        and model.B == 128
-        and model.H == 512
-        and model.P == 3
-        and not model.causal
-        and model.activate in ("relu", "sigmoid")
-    ):
+    if not _fused_shape_ok(model):
         return model.apply(params, wav)
     if packed is None:
         packed = pack_convtasnet_full_params(
@@ -187,21 +180,28 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
     return restore_output(out, was_one_d)
 
 
+def _fused_shape_ok(model: ConvTasNet) -> bool:
+    """Shape envelope of the fused kernel: N == H (the bottleneck pseudo-
+    block stacks with the TCN weight stream), lane-aligned channel dims,
+    3-tap depthwise, and dilations within the PAD=128 halo (X ≤ 8)."""
+    return (
+        model.N == model.H
+        and model.N % 128 == 0
+        and model.B % 128 == 0
+        and model.P == 3
+        and model.X <= 8
+        and not model.causal
+        and model.activate in ("relu", "sigmoid")
+    )
+
+
 def fused_forward_eligible(model: ConvTasNet, backend: str | None = None) -> bool:
     """Whether the whole-separator Pallas kernel serves this config."""
     import jax as _jax
 
     if backend is None:
         backend = _jax.default_backend()
-    return (
-        backend == "tpu"
-        and model.N == 512
-        and model.B == 128
-        and model.H == 512
-        and model.P == 3
-        and not model.causal
-        and model.activate in ("relu", "sigmoid")
-    )
+    return backend == "tpu" and _fused_shape_ok(model)
 
 
 def make_fused_train_apply(model: ConvTasNet):

@@ -101,7 +101,10 @@ def _kernel(
     nspk: int = 0,
     sigmoid: bool = False,
     prelu_max: bool = False,
+    mxu_stats: Sequence[str] = (),
     ablate: Sequence[str] = (),
+    H: int = 512,  # hidden/encoder channels (N == H); multiple of 128
+    C: int = 128,  # bottleneck channels; multiple of 128
 ):
     # ``ablate`` is a perf-diagnosis knob (scripts/kernel_ablation.py ONLY —
     # ablated kernels compute garbage): each token statically removes one
@@ -118,6 +121,30 @@ def _kernel(
             return jnp.maximum(x, a * x)
         return jnp.where(x >= 0, x, a * x)
 
+    # ``mxu_stats`` ("p1"/"p2" tokens): compute the gLN Σx/Σx² reductions as
+    # rowsum DOTS against an all-ones [H, 128] matrix instead of VPU tree
+    # reductions (math parity validated; stats ride bf16 inputs, rstd error
+    # ~1e-5).  MEASURED NEGATIVE on v5e (scripts/bench_mxu_stats.py):
+    # baseline 3.94 ms vs 5.99 ("p2") / 6.62 ("p1") — the extra
+    # [TILE, H]·[H, 128] dots serialize with the pass's VPU chain instead of
+    # hiding under it, costing far more than the 0.67 ms the reductions take
+    # (kernel_ablation.py).  Kept OFF by default; the knob + script form a
+    # re-measurement harness for other TPU generations.
+    ones_mx = jnp.ones((H, 128), jnp.bfloat16) if mxu_stats else None
+
+    def _mxu_sums(xb, x2b):
+        rs = jax.lax.dot_general(
+            xb, ones_mx,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        rq = jax.lax.dot_general(
+            x2b, ones_mx,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sum(rs[:, 0:1]), jnp.sum(rq[:, 0:1])
+
     full = nspk > 0
     if full:
         (f_ref, we_ref, w1_hbm, wsg_hbm, vec_hbm, c_ref, wm_ref, bm_ref,
@@ -128,7 +155,7 @@ def _kernel(
          w1_buf, wsg_buf, vec_buf, sem) = refs
 
     n_tiles = Tpad // TILE
-    inv_count = 1.0 / (float(T) * 512.0)
+    inv_count = 1.0 / (float(T) * float(H))
     eps = 1e-8
 
     def y_get(sl):
@@ -142,8 +169,8 @@ def _kernel(
 
     # zero the halos once per sample; the tail rows [T, Tpad) are written as
     # zeros by P1's row mask every block
-    h_ref[0:PAD, :] = jnp.zeros((PAD, 512), jnp.float32)
-    h_ref[PAD + Tpad : PAD + Tpad + PAD, :] = jnp.zeros((PAD, 512), jnp.float32)
+    h_ref[0:PAD, :] = jnp.zeros((PAD, H), jnp.float32)
+    h_ref[PAD + Tpad : PAD + Tpad + PAD, :] = jnp.zeros((PAD, H), jnp.float32)
 
     if not full:
         # y starts as x (the residual accumulator lives in y)
@@ -164,7 +191,7 @@ def _kernel(
 
     inflight = {0: start_weight_dma(0, 0)}
     rstd2_prev = jnp.float32(0.0)
-    shift_prev = jnp.zeros((128,), jnp.float32)
+    shift_prev = jnp.zeros((C,), jnp.float32)
 
     if full:
         # ---- prologue: encoder matmul + bottleneck as pending block 0.
@@ -239,7 +266,7 @@ def _kernel(
                     )
                 if masked:
                     # the shift term is nonzero in the dead rows ≥ T
-                    r128 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 0) + i * TILE
+                    r128 = jax.lax.broadcasted_iota(jnp.int32, (TILE, C), 0) + i * TILE
                     ytf = jnp.where(r128 < T, ytf, 0.0)
                 yt = ytf.astype(jnp.bfloat16)
                 y_set(sl, yt)
@@ -254,11 +281,15 @@ def _kernel(
             if "prelu" not in ablate:
                 ht = _prelu(ht, a1)
             if masked:
-                row = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
+                row = jax.lax.broadcasted_iota(jnp.int32, (TILE, H), 0) + i * TILE
                 ht = jnp.where(row < T, ht, 0.0)
             h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :] = ht
             if "p1stats" in ablate:
                 return jnp.float32(0.0), jnp.float32(0.0)
+            if "p1" in mxu_stats:
+                return _mxu_sums(
+                    ht.astype(jnp.bfloat16), (ht * ht).astype(jnp.bfloat16)
+                )
             return jnp.sum(ht), jnp.sum(ht * ht)
 
         def p1_body(i, carry):
@@ -319,7 +350,7 @@ def _kernel(
                 t = left * dw0[None, :] + midf * dw1[None, :] + right * dw2[None, :]
                 t = t + dwb[None, :]
             if first or tail_corr:
-                rowv = jax.lax.broadcasted_iota(jnp.int32, (TILE, 512), 0) + i * TILE
+                rowv = jax.lax.broadcasted_iota(jnp.int32, (TILE, H), 0) + i * TILE
             if first:
                 t = t - jnp.where(rowv < d, corr_l[None, :], 0.0)
             if tail_corr:
@@ -328,17 +359,20 @@ def _kernel(
                 t = _prelu(t, a2)
             if tail_corr:
                 t = jnp.where(rowv < T, t, 0.0)
+            tb = t.astype(jnp.bfloat16)
             if "mm2" in ablate:
-                p_ref[pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :] = t[:, :128]
+                p_ref[pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :] = t[:, :C]
             else:
                 r = jax.lax.dot_general(
-                    t.astype(jnp.bfloat16), wsg_ref[:],
+                    tb, wsg_ref[:],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 p_ref[pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :] = r
             if "p2stats" in ablate:
                 return jnp.float32(0.0), jnp.float32(0.0)
+            if "p2" in mxu_stats:
+                return _mxu_sums(tb, (t * t).astype(jnp.bfloat16))
             return jnp.sum(t), jnp.sum(t * t)
 
         # exact static extents: corr_l lives in rows < d (tile 0 only, since
@@ -386,10 +420,10 @@ def _kernel(
             et = enc_ref[sl, :]
             for s in range(nspk):
                 mt = jax.lax.dot_general(
-                    yb, wm_ref[:, s * 512 : (s + 1) * 512],
+                    yb, wm_ref[:, s * H : (s + 1) * H],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) + bm_ref[0, s * 512 : (s + 1) * 512][None, :]
+                ) + bm_ref[0, s * H : (s + 1) * H][None, :]
                 mt = jax.nn.sigmoid(mt) if sigmoid else jnp.maximum(mt, 0.0)
                 db = mt.astype(jnp.bfloat16) * et
                 dec = jax.lax.dot_general(
@@ -411,7 +445,7 @@ def _kernel(
                 + shift_prev[None, :]
             )
             if masked:
-                r128 = jax.lax.broadcasted_iota(jnp.int32, (TILE, 128), 0) + i * TILE
+                r128 = jax.lax.broadcasted_iota(jnp.int32, (TILE, C), 0) + i * TILE
                 ytf = jnp.where(r128 < T, ytf, 0.0)
             y_ref[0, sl, :] = ytf.astype(jnp.bfloat16)
             return 0
@@ -420,7 +454,9 @@ def _kernel(
         epi_tile(n_tiles - 1, True)
 
 
-@functools.partial(jax.jit, static_argnames=("dilations", "T_valid"))
+@functools.partial(
+    jax.jit, static_argnames=("dilations", "T_valid", "mxu_stats")
+)
 def fused_tcn_separator(
     x: jnp.ndarray,  # [B, T, 128] bf16 (channels-last)
     w1s: jnp.ndarray,  # [nb, 128, 512] bf16
@@ -430,16 +466,20 @@ def fused_tcn_separator(
     alphas: jnp.ndarray,  # [nb, 2] f32
     dilations: Sequence[int],
     T_valid: int | None = None,
+    mxu_stats: Sequence[str] = (),
 ):
     B, T, Cb = x.shape
-    assert Cb == 128 and w1s.shape[1:] == (128, 512), "kernel is specialized"
+    _, Cw, Hh = w1s.shape
+    assert Cb == Cw and Cb % 128 == 0 and Hh % 128 == 0, "lane-aligned only"
+    assert wsgs.shape[1:] == (Hh, Cb)
     T_valid = T if T_valid is None else T_valid
     Tpad = -(-T // TILE) * TILE
     if Tpad != T:
         x = jnp.pad(x, ((0, 0), (0, Tpad - T), (0, 0)))
 
     kernel = functools.partial(
-        _kernel, dilations=tuple(dilations), T=T_valid, Tpad=Tpad
+        _kernel, dilations=tuple(dilations), T=T_valid, Tpad=Tpad,
+        mxu_stats=tuple(mxu_stats), H=Hh, C=Cb,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # alphas
@@ -455,11 +495,11 @@ def fused_tcn_separator(
             (1, Tpad, Cb), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((PAD + Tpad + PAD, 512), jnp.float32),
-            pltpu.VMEM((Tpad, 128), jnp.float32),
-            pltpu.VMEM((2, 128, 512), jnp.bfloat16),
-            pltpu.VMEM((2, 512, 128), jnp.bfloat16),
-            pltpu.VMEM((2, 8, 512), jnp.float32),
+            pltpu.VMEM((PAD + Tpad + PAD, Hh), jnp.float32),
+            pltpu.VMEM((Tpad, Cb), jnp.float32),
+            pltpu.VMEM((2, Cb, Hh), jnp.bfloat16),
+            pltpu.VMEM((2, Hh, Cb), jnp.bfloat16),
+            pltpu.VMEM((2, 8, Hh), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
@@ -479,7 +519,8 @@ def fused_tcn_separator(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "dilations", "nspk", "sigmoid", "T_valid", "prelu_max", "ablate"
+        "dilations", "nspk", "sigmoid", "T_valid", "prelu_max", "mxu_stats",
+        "ablate",
     ),
 )
 def fused_convtasnet_separator(
@@ -498,6 +539,7 @@ def fused_convtasnet_separator(
     sigmoid: bool = False,
     T_valid: int | None = None,
     prelu_max: bool = False,
+    mxu_stats: Sequence[str] = (),
     ablate: Sequence[str] = (),
 ):
     """Whole-separator fused forward: encoder matmul → bottleneck gLN+1×1 →
@@ -508,7 +550,9 @@ def fused_convtasnet_separator(
 
     Returns [B, nspk, T', win] bf16 frames for ``overlap_add``."""
     B, T, W = frames.shape
-    assert wsgs.shape[1:] == (512, 128), "kernel is specialized to N=H=512"
+    _, Hh, Cb = wsgs.shape
+    assert Hh % 128 == 0 and Cb % 128 == 0, "lane-aligned only (N == H)"
+    assert we.shape == (W, Hh) and w1s.shape[1:] == (Cb, Hh)
     T_valid = T if T_valid is None else T_valid
     Tpad = -(-T // TILE) * TILE
     if Tpad != T:
@@ -516,7 +560,8 @@ def fused_convtasnet_separator(
 
     kernel = functools.partial(
         _kernel, dilations=tuple(dilations), T=T_valid, Tpad=Tpad,
-        nspk=nspk, sigmoid=sigmoid, prelu_max=prelu_max, ablate=tuple(ablate),
+        nspk=nspk, sigmoid=sigmoid, prelu_max=prelu_max,
+        mxu_stats=tuple(mxu_stats), ablate=tuple(ablate), H=Hh, C=Cb,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # alphas
@@ -537,13 +582,13 @@ def fused_convtasnet_separator(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((Tpad, 512), jnp.bfloat16),  # enc
-            pltpu.VMEM((Tpad, 128), jnp.bfloat16),  # y
-            pltpu.VMEM((PAD + Tpad + PAD, 512), jnp.float32),  # h
-            pltpu.VMEM((Tpad, 128), jnp.float32),  # p
-            pltpu.VMEM((2, 128, 512), jnp.bfloat16),
-            pltpu.VMEM((2, 512, 128), jnp.bfloat16),
-            pltpu.VMEM((2, 8, 512), jnp.float32),
+            pltpu.VMEM((Tpad, Hh), jnp.bfloat16),  # enc
+            pltpu.VMEM((Tpad, Cb), jnp.bfloat16),  # y
+            pltpu.VMEM((PAD + Tpad + PAD, Hh), jnp.float32),  # h
+            pltpu.VMEM((Tpad, Cb), jnp.float32),  # p
+            pltpu.VMEM((2, Cb, Hh), jnp.bfloat16),
+            pltpu.VMEM((2, Hh, Cb), jnp.bfloat16),
+            pltpu.VMEM((2, 8, Hh), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
     )
@@ -568,17 +613,19 @@ def pack_convtasnet_full_params(params, R: int, X: int, num_spks: int):
 
     g = np.asarray(p["bn_norm"]["gamma"], np.float64)
     bt = np.asarray(p["bn_norm"]["beta"], np.float64)
-    wbn = np.asarray(p["bn_conv"]["kernel"], np.float64)  # [512, 128]
+    wbn = np.asarray(p["bn_conv"]["kernel"], np.float64)  # [N, C]
     bbn = np.asarray(p["bn_conv"]["bias"], np.float64)
-    c0 = np.zeros((1, 2, 128), np.float32)
+    N, C = wbn.shape
+    Hh = w1s.shape[2]
+    c0 = np.zeros((1, 2, C), np.float32)
     c0[0, 0] = (bt @ wbn + bbn).astype(np.float32)
     c0[0, 1] = (g @ wbn).astype(np.float32)
 
-    w1s = jnp.concatenate([jnp.zeros((1, 128, 512), w1s.dtype), w1s])
+    w1s = jnp.concatenate([jnp.zeros((1, C, Hh), w1s.dtype), w1s])
     wsgs = jnp.concatenate(
         [jnp.asarray((wbn * g[:, None]).astype(np.float32), wsgs.dtype)[None], wsgs]
     )
-    vecs = jnp.concatenate([jnp.zeros((1, 8, 512), vecs.dtype), vecs])
+    vecs = jnp.concatenate([jnp.zeros((1, 8, Hh), vecs.dtype), vecs])
     cs = jnp.concatenate([jnp.asarray(c0), cs])
     alphas = jnp.concatenate([jnp.zeros((1, 2), alphas.dtype), alphas])
 
@@ -588,7 +635,7 @@ def pack_convtasnet_full_params(params, R: int, X: int, num_spks: int):
         np.asarray(p["mask_conv"]["bias"], np.float32)[None, :]
     )
     wd = jnp.asarray(np.asarray(p["decoder"]["kernel"]), jnp.bfloat16)
-    assert wm.shape == (128, num_spks * 512), wm.shape
+    assert wm.shape == (C, num_spks * N), wm.shape
     return we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, dils
 
 
@@ -613,7 +660,7 @@ def pack_convtasnet_full_params_jnp(params, R: int, X: int, num_spks: int):
             bs = blk["sconv"]["bias"].astype(f32)
             wsgs.append(ws * g2[:, None])
             cs.append(jnp.stack([b2 @ ws + bs, g2 @ ws]))
-            dw = blk["dwconv"]["Conv_0"]["kernel"].astype(f32)  # [3, 1, 512]
+            dw = blk["dwconv"]["Conv_0"]["kernel"].astype(f32)  # [3, 1, H]
             # rows in _B1/_DWB/_G1/_BT1/_DW0/_DW1/_DW2 order (row 7 unused)
             vecs.append(
                 jnp.stack([
@@ -622,7 +669,7 @@ def pack_convtasnet_full_params_jnp(params, R: int, X: int, num_spks: int):
                     blk["norm1"]["gamma"].astype(f32),
                     blk["norm1"]["beta"].astype(f32),
                     dw[0, 0], dw[1, 0], dw[2, 0],
-                    jnp.zeros((512,), f32),
+                    jnp.zeros((dw.shape[2],), f32),
                 ])
             )
             alphas.append(
@@ -632,16 +679,17 @@ def pack_convtasnet_full_params_jnp(params, R: int, X: int, num_spks: int):
 
     g = p["bn_norm"]["gamma"].astype(f32)
     bt = p["bn_norm"]["beta"].astype(f32)
-    wbn = p["bn_conv"]["kernel"].astype(f32)  # [512, 128]
+    wbn = p["bn_conv"]["kernel"].astype(f32)  # [N, C]
     bbn = p["bn_conv"]["bias"].astype(f32)
 
+    Cb, Hh = w1s[0].shape
     w1s = jnp.concatenate(
-        [jnp.zeros((1, 128, 512), f32), jnp.stack(w1s)]
+        [jnp.zeros((1, Cb, Hh), f32), jnp.stack(w1s)]
     ).astype(jnp.bfloat16)
     wsgs = jnp.concatenate(
         [(wbn * g[:, None])[None], jnp.stack(wsgs)]
     ).astype(jnp.bfloat16)
-    vecs = jnp.concatenate([jnp.zeros((1, 8, 512), f32), jnp.stack(vecs)])
+    vecs = jnp.concatenate([jnp.zeros((1, 8, Hh), f32), jnp.stack(vecs)])
     cs = jnp.concatenate(
         [jnp.stack([bt @ wbn + bbn, g @ wbn])[None], jnp.stack(cs)]
     )
@@ -664,17 +712,17 @@ def pack_convtasnet_tcn_params(params, R: int, X: int):
     for r in range(R):
         for i in range(X):
             blk = p[f"tcn_{r}_{i}"]
-            w1s.append(np.asarray(blk["conv1x1"]["kernel"]))  # [128, 512]
-            ws = np.asarray(blk["sconv"]["kernel"], np.float64)  # [512, 128]
+            w1s.append(np.asarray(blk["conv1x1"]["kernel"]))  # [C, H]
+            ws = np.asarray(blk["sconv"]["kernel"], np.float64)  # [H, C]
             g2 = np.asarray(blk["norm2"]["gamma"], np.float64)
             b2 = np.asarray(blk["norm2"]["beta"], np.float64)
             bs = np.asarray(blk["sconv"]["bias"], np.float64)
             wsgs.append((ws * g2[:, None]).astype(np.float32))
-            c = np.zeros((2, 128), np.float32)
+            c = np.zeros((2, ws.shape[1]), np.float32)
             c[0] = (b2 @ ws + bs).astype(np.float32)
             c[1] = (g2 @ ws).astype(np.float32)
             cs.append(c)
-            v = np.zeros((8, 512), np.float32)
+            v = np.zeros((8, ws.shape[0]), np.float32)
             v[_B1] = np.asarray(blk["conv1x1"]["bias"])
             v[_DWB] = np.asarray(blk["dwconv"]["Conv_0"]["bias"])
             v[_G1] = np.asarray(blk["norm1"]["gamma"])

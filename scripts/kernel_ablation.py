@@ -82,7 +82,8 @@ def main():
                 f = fr * (1.0 + 1e-9 * i.astype(fr.dtype))
                 o = fused_convtasnet_separator(
                     f, we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd,
-                    dilations=dils, nspk=3, sigmoid=False, ablate=ab,
+                    dilations=dils, nspk=3, sigmoid=False, prelu_max=True,
+                    ablate=ab,
                 )
                 return acc + o.sum().astype(jnp.float32)
 

@@ -101,6 +101,37 @@ def test_full_separator_interpret_parity(interpret_mode):
     assert float(rel.mean()) < 0.02, float(rel.mean())
 
 
+def test_full_separator_generalized_shape_interpret_parity(interpret_mode):
+    # round-3 shape generalization: the kernel serves any lane-aligned
+    # (N == H, C) — here N=H=256, C=256 (vs the headline's 512/128)
+    from audio_only_speech_separation_tpu.models import ConvTasNet
+    from audio_only_speech_separation_tpu.models.convtasnet import (
+        fused_forward_eligible,
+        fused_inference_forward,
+    )
+    from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import (
+        pack_convtasnet_full_params,
+    )
+
+    model = ConvTasNet(
+        N=256, L=16, B=256, H=256, P=3, X=2, R=1, num_spks=2,
+        sample_rate=8000,
+    )
+    assert fused_forward_eligible(model, backend="tpu")
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, 4000)).astype(np.float32)
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), x)
+    packed = pack_convtasnet_full_params(params, 1, 2, 2)
+    ref = model.apply(params, x)
+    got = fused_inference_forward(model, params, x, packed=packed).astype(
+        jnp.float32
+    )
+    rel = jnp.abs(ref - got) / (jnp.abs(ref).mean() + 1e-8)
+    assert float(rel.max()) < 0.15, float(rel.max())
+    assert float(rel.mean()) < 0.02, float(rel.mean())
+
+
 def test_tcn_kernel_interpret_parity(interpret_mode):
     # the TCN-only kernel vs the f32 XLA Conv1DBlock stack
     from audio_only_speech_separation_tpu.models.convtasnet import Conv1DBlock
