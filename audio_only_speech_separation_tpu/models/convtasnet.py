@@ -183,14 +183,24 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
 def _fused_shape_ok(model: ConvTasNet) -> bool:
     """Shape envelope of the fused kernel: N == H (the bottleneck pseudo-
     block stacks with the TCN weight stream), lane-aligned channel dims,
-    3-tap depthwise, and dilations within the PAD=128 halo (X ≤ 8)."""
+    3-tap depthwise, dilations within the PAD=128 halo (X ≤ 8), and
+    non-causal gLN only (the kernel computes global-LN statistics; a
+    norm='cLN' config would need causal cumulative stats).
+
+    H ≤ 512 bounds the kernel's VMEM scratch — the f32-resident h plus
+    the encoder tile scale as ~(Tpad+256)·H·4 + Tpad·H·2 bytes against
+    the 100 MB ``vmem_limit_bytes`` in ``fused_convtasnet_separator``;
+    H=512 with 2–4 s clips sits inside that envelope, larger H would
+    fail at Mosaic compile time instead of falling back."""
     return (
         model.N == model.H
         and model.N % 128 == 0
+        and model.H <= 512
         and model.B % 128 == 0
         and model.P == 3
         and model.X <= 8
         and not model.causal
+        and model.norm == "gLN"
         and model.activate in ("relu", "sigmoid")
     )
 

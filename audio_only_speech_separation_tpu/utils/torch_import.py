@@ -14,7 +14,9 @@ Layout conventions translated:
 - torch Linear weight [out, in]      → Dense kernel [in, out]
 - torch GroupNorm weight/bias        → gamma/beta
 
-Currently covered: ConvTasNet, TasNet (DPRNN/DPTNet modules, group_size=1).
+Covered: all 8 registered families — ConvTasNet, TasNet (DPRNN/DPTNet/TCN/
+SudoRMRF modules incl. GC_* variants), Sepformer, BSRNN, TDANet, AFRCNN,
+DPRNNTasNet (legacy), Sandglasset.
 """
 
 from __future__ import annotations

@@ -36,6 +36,19 @@ def test_fused_train_apply_gated_off_tpu():
         N=64, L=16, B=32, H=64, P=3, X=2, R=1, num_spks=2, sample_rate=8000
     )
     assert not fused_forward_eligible(small, backend="tpu")
+    # norm='cLN' non-causal uses cumulative LN in the blocks; the kernel
+    # computes gLN — must decline (ADVICE r3)
+    cln = ConvTasNet(
+        N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3,
+        sample_rate=16000, norm="cLN",
+    )
+    assert not fused_forward_eligible(cln, backend="tpu")
+    # H beyond the VMEM envelope must decline rather than fail at compile
+    big = ConvTasNet(
+        N=1024, L=16, B=128, H=1024, P=3, X=8, R=3, num_spks=3,
+        sample_rate=16000,
+    )
+    assert not fused_forward_eligible(big, backend="tpu")
 
 
 def test_jnp_pack_matches_np_pack():
