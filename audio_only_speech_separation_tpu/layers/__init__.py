@@ -18,6 +18,17 @@ from ..ops.norms import (
     get_norm,
 )
 from ..ops.stft import hann_window, istft, stft, stft_matmul
+from .stft_lib import (
+    STFT,
+    forward_stft,
+    init_kernel,
+    init_window,
+    inverse_stft,
+    iSTFT,
+    mel_filter,
+    speed_perturb_filter,
+    splice_feature,
+)
 from ..models.blocks.tac import TAC
 from .enc_dec import Decoder, Encoder, Filterbank, FreeFB, make_enc_dec
 from .blocks import (
@@ -65,6 +76,15 @@ __all__ = [
     "istft",
     "stft_matmul",
     "hann_window",
+    "forward_stft",
+    "inverse_stft",
+    "STFT",
+    "iSTFT",
+    "init_window",
+    "init_kernel",
+    "mel_filter",
+    "speed_perturb_filter",
+    "splice_feature",
 ]
 
 from .av import (  # noqa: E402
