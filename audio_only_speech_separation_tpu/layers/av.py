@@ -170,7 +170,7 @@ class MultiHeadedSelfAttentionModule(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(name="norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         y = RelativeMultiHeadAttention(self.d_model, self.num_heads, name="attn")(y)
         return x + y
 
@@ -186,7 +186,7 @@ class ConformerConvModule(nn.Module):
     @nn.compact
     def __call__(self, x):  # [B, T, D]
         D = self.in_channels
-        y = nn.LayerNorm(name="norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         y = jnp.swapaxes(y, 1, 2)  # [B, D, T]
         y = PointwiseConv(D * self.expansion_factor * 2, name="pw1")(y)
         a, b = jnp.split(y, 2, axis=1)

@@ -154,7 +154,7 @@ class LSTMBlockTF(nn.Module):
     def __call__(self, x):  # [B, T, D]
         h = BiLSTM(self.hidden_size, name="rnn")(x)
         h = nn.Dense(x.shape[-1], name="proj")(h)
-        return nn.LayerNorm(name="norm")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x + h)
 
 
 class TransformerBlockTF(nn.Module):
@@ -171,10 +171,10 @@ class TransformerBlockTF(nn.Module):
         if self.use_positions:
             x = x + sinusoidal_positions(x.shape[1], self.d_model, x.dtype)[None]
         attn = MultiheadAttention(self.d_model, self.n_head, name="attn")(x)
-        x = nn.LayerNorm(name="norm1")(x + attn)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn)
         ffn = nn.Dense(self.d_ffn, name="ffn1")(x)
         ffn = nn.Dense(self.d_model, name="ffn2")(nn.relu(ffn))
-        return nn.LayerNorm(name="norm2")(x + ffn)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + ffn)
 
 
 class DPRNNBlock(nn.Module):

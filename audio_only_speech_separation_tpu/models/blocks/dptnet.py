@@ -25,12 +25,12 @@ class TransformerEncoderLayerDPT(nn.Module):
     @nn.compact
     def __call__(self, x):
         attn = MultiheadAttention(self.d_model, self.nhead, name="self_attn")(x)
-        x = nn.LayerNorm(name="norm1")(x + attn)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn)
         # relu + Linear(4d→d) fused into the scan output (relu is element-
         # wise, so it distributes across the fwd/bwd projection split)
         pk, pb = _DenseParams(self.d_model, 4 * self.d_model, name="ffn_proj")()
         ffn = BiLSTM(self.d_model * 2, name="ffn_lstm")(x, pk, pb, nn.relu)
-        x = nn.LayerNorm(name="norm2")(x + ffn)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + ffn)
         return x
 
 

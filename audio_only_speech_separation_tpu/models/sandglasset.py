@@ -61,7 +61,7 @@ class GlobalAttnLayer(nn.Module):
         # reference quirk: residual adds dropout(output) to output, not input
         res = nn.Dropout(self.dropout, deterministic=not train)(out) \
             if self.dropout > 0.0 else out
-        return nn.LayerNorm(name="norm")(out + res)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(out + res)
 
 
 class SandglassetBlock(nn.Module):
@@ -106,7 +106,7 @@ class SandglassetBlock(nn.Module):
             g = x
             if skip_connect is not None:
                 g = g + skip_connect
-            h = nn.LayerNorm(name="attn_in_norm")(g)
+            h = nn.LayerNorm(epsilon=1e-5, name="attn_in_norm")(g)
             h = h + sinusoidal_positions(S, D, h.dtype)[None, :, None, :]
             h = GlobalAttnLayer(
                 D, self.n_head, dropout=self.dropout, name="attn_layer"
@@ -119,7 +119,7 @@ class SandglassetBlock(nn.Module):
         g = jnp.transpose(g4, (0, 2, 1, 3)).reshape(B * Q, S, D)  # [B·Q, S, D]
         if skip_connect is not None:
             g = g + skip_connect
-        h = nn.LayerNorm(name="attn_in_norm")(g)
+        h = nn.LayerNorm(epsilon=1e-5, name="attn_in_norm")(g)
         h = h + sinusoidal_positions(S, D, h.dtype)[None, :, :]
         h = GlobalAttnLayer(D, self.n_head, dropout=self.dropout, name="attn_layer")(
             h, train=train

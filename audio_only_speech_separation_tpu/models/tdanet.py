@@ -75,7 +75,7 @@ class TDAAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):  # [B, T, C]
-        h = nn.LayerNorm(name="attn_in_norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="attn_in_norm")(x)
         h = h + sinusoidal_positions(h.shape[1], self.channels, h.dtype)[None]
         # (batch=T, seq=B): reference's seq-first misuse, replicated
         hq = jnp.swapaxes(h, 0, 1)  # [T, B, C]
@@ -84,7 +84,7 @@ class TDAAttention(nn.Module):
         )(hq, train=train)
         out = jnp.swapaxes(out, 0, 1)  # [B, T, C]
         # residual is output + dropout(output) — identity-doubled at eval
-        return nn.LayerNorm(name="norm")(
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(
             out + nn.Dropout(self.dropout, deterministic=not train)(out)
         )
 

@@ -113,6 +113,13 @@ def _kernel(
     #   dw                — skip the shifted taps (t = mid only)
     #   mm2               — skip P2's pending matmul (slice-copy instead)
     #   prelu             — skip both PReLU selects
+    # Probe tokens (ADD synthetic work instead of removing it — they measure
+    # each pass's marginal absorption capacity, i.e. how much of the added
+    # work hides under the pass's existing stalls):
+    #   p1alu3 / p1alu6   — 3 / 6 extra f32 FMA-class ops on ht in P1
+    #   p1ld              — one extra full-tile f32 load (+add) in P1
+    #   p1st              — one extra full-tile f32 store in P1
+    #   p2alu3            — 3 extra f32 FMA-class ops on t in P2
     # PReLU lowering: the general form is compare+select+mul (3 VPU ops);
     # when every alpha ≤ 1 (checked at pack time from concrete weights),
     # prelu(x) = max(x, a·x) — mul+max, one op fewer per activation pass.

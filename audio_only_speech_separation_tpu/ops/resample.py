@@ -17,20 +17,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _nearest_idx_map(in_size: int, out_size: int) -> np.ndarray:
+    """torch F.interpolate(mode='nearest') source-index map, bit-exact.
+
+    torch computes ``src = min(floorf(float32(dst) * float32(in/out)), in-1)``
+    in FLOAT32 (aten nearest_neighbor_compute_source_index).  The f32 scale
+    rounds differently from exact rational arithmetic at integer boundaries —
+    e.g. 102→810 at dst=405: exact 405·102/810 = 51 but f64 floor gives 50
+    while torch's f32 product floors to 51.  Reproducing the f32 arithmetic
+    here (indices are static at trace time) keeps full-size AFRCNN/TDANet
+    forward parity (caught by tests/test_config_scale_parity.py)."""
+    scale = np.float32(in_size) / np.float32(out_size)
+    idx = np.floor(np.arange(out_size, dtype=np.float32) * scale).astype(np.int64)
+    return np.minimum(idx, in_size - 1).astype(np.int32)
+
+
 def interpolate_nearest(x: jnp.ndarray, size: int, axis: int = -1) -> jnp.ndarray:
-    """torch 'nearest' (floor index map) along ``axis``.
+    """torch 'nearest' along ``axis`` (f32 floor index map, see above).
 
     Integer upsampling ratios lower to a broadcast+reshape repeat instead of
-    a gather — gathers on large TPU feature maps are far off roofline.
+    a gather — gathers on large TPU feature maps are far off roofline.  The
+    repeat path is used only when the torch index map coincides with the
+    pure-repeat pattern (verified per static shape at trace time).
     """
     T = x.shape[axis]
     if size == T:
         return x
-    if size % T == 0:
-        # floor(j·T/size) == j // (size//T): exact element repeat
+    idx = _nearest_idx_map(T, size)
+    if size % T == 0 and np.array_equal(idx, np.arange(size) // (size // T)):
         return jnp.repeat(x, size // T, axis=axis)
-    idx = np.floor(np.arange(size) * (T / size)).astype(np.int32)
-    idx = np.minimum(idx, T - 1)
     return jnp.take(x, jnp.asarray(idx), axis=axis)
 
 
