@@ -105,7 +105,17 @@ def _kernel(
     ablate: Sequence[str] = (),
     H: int = 512,  # hidden/encoder channels (N == H); multiple of 128
     C: int = 128,  # bottleneck channels; multiple of 128
+    streams: int = 1,  # samples co-resident per program (see below)
 ):
+    # ``streams`` > 1 processes that many SAMPLES inside one grid step, with
+    # every per-tile op emitted for all streams in the same loop body.  The
+    # streams share weights and have no data dependencies, so Mosaic's
+    # scheduler can fill one stream's stall cycles (MXU-dot latency in P1,
+    # load waits) with another stream's VPU ops.  The per-iteration phase
+    # attribution (scripts/kernel_ablation.py) showed P1's marginal VPU op
+    # costs ~0.03 ms vs P2's ~0.14 ms — i.e. P1 idles most of its ALU —
+    # which is exactly the bubble this pairing fills.  Costs S× the
+    # activation VMEM (gated by the caller's envelope check).
     # ``ablate`` is a perf-diagnosis knob (scripts/kernel_ablation.py ONLY —
     # ablated kernels compute garbage): each token statically removes one
     # phase of work so on-chip timing deltas attribute the kernel's cost.
@@ -164,24 +174,30 @@ def _kernel(
     n_tiles = Tpad // TILE
     inv_count = 1.0 / (float(T) * float(H))
     eps = 1e-8
+    S = streams
+    SS = range(S)
 
-    def y_get(sl):
-        return y_scr[sl, :] if full else y_ref[0, sl, :]
+    def y_get(s, sl):
+        return y_scr[s, sl, :] if full else y_ref[s, sl, :]
 
-    def y_set(sl, v):
+    def y_set(s, sl, v):
         if full:
-            y_scr[sl, :] = v
+            y_scr[s, sl, :] = v
         else:
-            y_ref[0, sl, :] = v
+            y_ref[s, sl, :] = v
 
     # zero the halos once per sample; the tail rows [T, Tpad) are written as
     # zeros by P1's row mask every block
-    h_ref[0:PAD, :] = jnp.zeros((PAD, H), jnp.float32)
-    h_ref[PAD + Tpad : PAD + Tpad + PAD, :] = jnp.zeros((PAD, H), jnp.float32)
+    for s in SS:
+        h_ref[s, 0:PAD, :] = jnp.zeros((PAD, H), jnp.float32)
+        h_ref[s, PAD + Tpad : PAD + Tpad + PAD, :] = jnp.zeros(
+            (PAD, H), jnp.float32
+        )
 
     if not full:
         # y starts as x (the residual accumulator lives in y)
-        y_ref[0, :, :] = x_ref[0, :, :]
+        for s in SS:
+            y_ref[s, :, :] = x_ref[s, :, :]
 
     n_blocks = len(dilations)
     n_entries = n_blocks + (1 if full else 0)  # weight-array entries
@@ -197,8 +213,8 @@ def _kernel(
         return copies
 
     inflight = {0: start_weight_dma(0, 0)}
-    rstd2_prev = jnp.float32(0.0)
-    shift_prev = jnp.zeros((C,), jnp.float32)
+    rstd2_prev = [jnp.float32(0.0) for _ in SS]
+    shift_prev = [jnp.zeros((C,), jnp.float32) for _ in SS]
 
     if full:
         # ---- prologue: encoder matmul + bottleneck as pending block 0.
@@ -213,31 +229,37 @@ def _kernel(
 
         def pro_tile(i, carry):
             sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
-            ft = f_ref[0, sl, :]
-            et = jax.lax.dot_general(
-                ft, we_ref[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            etb = et.astype(jnp.bfloat16)
-            enc_ref[sl, :] = etb
-            p_ref[sl, :] = jax.lax.dot_general(
-                etb, wsg_buf[0],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            etf = etb.astype(jnp.float32)
-            s, q = carry
-            return s + jnp.sum(etf), q + jnp.sum(etf * etf)
+            acc = list(carry)
+            for s in SS:
+                ft = f_ref[s, sl, :]
+                et = jax.lax.dot_general(
+                    ft, we_ref[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                etb = et.astype(jnp.bfloat16)
+                enc_ref[s, sl, :] = etb
+                p_ref[s, sl, :] = jax.lax.dot_general(
+                    etb, wsg_buf[0],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                etf = etb.astype(jnp.float32)
+                acc[s] = acc[s] + jnp.sum(etf)
+                acc[S + s] = acc[S + s] + jnp.sum(etf * etf)
+            return tuple(acc)
 
         # frame rows ≥ T are zero → contribute nothing to the gLN sums or
         # to P, so no row masking is needed anywhere in the prologue
-        se, qe = jax.lax.fori_loop(
-            0, n_tiles, pro_tile, (jnp.float32(0.0), jnp.float32(0.0))
+        acc = jax.lax.fori_loop(
+            0, n_tiles, pro_tile, (jnp.float32(0.0),) * (2 * S)
         )
-        mean_e = se * inv_count
-        rstd2_prev = jax.lax.rsqrt(qe * inv_count - mean_e * mean_e + eps)
-        shift_prev = c_ref[0, 0, :] - mean_e * rstd2_prev * c_ref[0, 1, :]
+        for s in SS:
+            mean_e = acc[s] * inv_count
+            rstd2_prev[s] = jax.lax.rsqrt(
+                acc[S + s] * inv_count - mean_e * mean_e + eps
+            )
+            shift_prev[s] = c_ref[0, 0, :] - mean_e * rstd2_prev[s] * c_ref[0, 1, :]
 
     base = 1 if full else 0
     for bi, d in enumerate(dilations):
@@ -258,27 +280,27 @@ def _kernel(
         # boundary tile is peeled so the hot middle tiles run maskless.
         b1v = vec_ref[_B1, :]
 
-        def p1_tile(i, masked: bool):
+        def p1_tile(s, i, masked: bool):
             sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
             if b > 0:
                 if full and b == 1:
                     # first pending apply in full mode: y is uninitialized
                     # scratch — the bottleneck output IS the initial y
-                    ytf = rstd2_prev * p_ref[sl, :] + shift_prev[None, :]
+                    ytf = rstd2_prev[s] * p_ref[s, sl, :] + shift_prev[s][None, :]
                 else:
                     ytf = (
-                        y_get(sl).astype(jnp.float32)
-                        + rstd2_prev * p_ref[sl, :]
-                        + shift_prev[None, :]
+                        y_get(s, sl).astype(jnp.float32)
+                        + rstd2_prev[s] * p_ref[s, sl, :]
+                        + shift_prev[s][None, :]
                     )
                 if masked:
                     # the shift term is nonzero in the dead rows ≥ T
                     r128 = jax.lax.broadcasted_iota(jnp.int32, (TILE, C), 0) + i * TILE
                     ytf = jnp.where(r128 < T, ytf, 0.0)
                 yt = ytf.astype(jnp.bfloat16)
-                y_set(sl, yt)
+                y_set(s, sl, yt)
             else:
-                yt = y_get(sl)
+                yt = y_get(s, sl)
             ht = jax.lax.dot_general(
                 yt, w1_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -287,10 +309,20 @@ def _kernel(
             ht = ht + b1v[None, :]
             if "prelu" not in ablate:
                 ht = _prelu(ht, a1)
+            if "p1alu3" in ablate or "p1alu6" in ablate:
+                n_extra = 6 if "p1alu6" in ablate else 3
+                for _ in range(n_extra):
+                    ht = ht * jnp.float32(1.0000001) + jnp.float32(1e-30)
+            if "p1ld" in ablate:
+                ht = ht + h_ref[s, pl.ds(pl.multiple_of(i * TILE, PAD), TILE), :]
             if masked:
                 row = jax.lax.broadcasted_iota(jnp.int32, (TILE, H), 0) + i * TILE
                 ht = jnp.where(row < T, ht, 0.0)
-            h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :] = ht
+            h_ref[s, pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :] = ht
+            if "p1st" in ablate:
+                h_ref[s, pl.ds(pl.multiple_of(i * TILE, PAD), TILE), :] = (
+                    ht * jnp.float32(1.0000001)
+                )
             if "p1stats" in ablate:
                 return jnp.float32(0.0), jnp.float32(0.0)
             if "p1" in mxu_stats:
@@ -299,83 +331,97 @@ def _kernel(
                 )
             return jnp.sum(ht), jnp.sum(ht * ht)
 
-        def p1_body(i, carry):
-            s, q = carry
-            ds_, dq = p1_tile(i, masked=False)
-            return s + ds_, q + dq
+        def p1_body(i, carry, masked=False):
+            acc = list(carry)
+            for s in SS:
+                ds_, dq = p1_tile(s, i, masked=masked)
+                acc[s] = acc[s] + ds_
+                acc[S + s] = acc[S + s] + dq
+            return tuple(acc)
 
-        s1, q1 = jax.lax.fori_loop(
-            0, n_tiles - 1, p1_body, (jnp.float32(0.0), jnp.float32(0.0))
+        acc1 = jax.lax.fori_loop(
+            0, n_tiles - 1, p1_body, (jnp.float32(0.0),) * (2 * S)
         )
-        ds_, dq = p1_tile(n_tiles - 1, masked=True)
-        s1, q1 = s1 + ds_, q1 + dq
-        if "p1stats" in ablate:
-            mean1, rstd1 = jnp.float32(0.0), jnp.float32(1.0)
-        else:
-            mean1 = s1 * inv_count
-            rstd1 = jax.lax.rsqrt(q1 * inv_count - mean1 * mean1 + eps)
-        # fold gLN-1 (per-channel affine) into the depthwise taps:
+        # peeled boundary tile: rows ≥ T must be zero-masked
+        acc1 = list(p1_body(n_tiles - 1, acc1, masked=True))
+        # per-stream gLN-1 folds into the depthwise taps:
         # norm1(h) = h·sc1 + sh1;  dw(norm1 h) = Σₖ(dwₖ·sc1)⊙h_±d + (Σₖdwₖ)·sh1 + dwb
-        sc1 = vec_ref[_G1, :] * rstd1  # [512]
-        sh1 = vec_ref[_BT1, :] - mean1 * sc1
-        dw0 = vec_ref[_DW0, :] * sc1
-        dw1 = vec_ref[_DW1, :] * sc1
-        dw2 = vec_ref[_DW2, :] * sc1
-        dwb = (
-            vec_ref[_DWB, :]
-            + (vec_ref[_DW0, :] + vec_ref[_DW1, :] + vec_ref[_DW2, :]) * sh1
-        )
-        # Boundary correction: the reference zero-pads AFTER normalization,
-        # so the folded sh1 term must not be contributed by out-of-range
-        # taps (first d rows: left tap; last d rows: right tap).
-        corr_l = vec_ref[_DW0, :] * sh1
-        corr_r = vec_ref[_DW2, :] * sh1
+        dw0, dw1, dw2, dwb, corr_l, corr_r = [], [], [], [], [], []
+        for s in SS:
+            if "p1stats" in ablate:
+                mean1, rstd1 = jnp.float32(0.0), jnp.float32(1.0)
+            else:
+                mean1 = acc1[s] * inv_count
+                rstd1 = jax.lax.rsqrt(
+                    acc1[S + s] * inv_count - mean1 * mean1 + eps
+                )
+            sc1 = vec_ref[_G1, :] * rstd1  # [512]
+            sh1 = vec_ref[_BT1, :] - mean1 * sc1
+            dw0.append(vec_ref[_DW0, :] * sc1)
+            dw1.append(vec_ref[_DW1, :] * sc1)
+            dw2.append(vec_ref[_DW2, :] * sc1)
+            dwb.append(
+                vec_ref[_DWB, :]
+                + (vec_ref[_DW0, :] + vec_ref[_DW1, :] + vec_ref[_DW2, :]) * sh1
+            )
+            # Boundary correction: the reference zero-pads AFTER
+            # normalization, so the folded sh1 term must not be contributed
+            # by out-of-range taps (first d rows: left; last d rows: right).
+            corr_l.append(vec_ref[_DW0, :] * sh1)
+            corr_r.append(vec_ref[_DW2, :] * sh1)
 
         # ---- P2 (+ fused former P3): v = prelu(dw'(h)); stats; P = v @ Wsg
         # h is never overwritten (v flows straight into the dot), so halo
         # reads see original data and no backup strip is needed.
-        def p2_tile(i, first: bool, tail_corr: bool):
+        def p2_tile(s, i, first: bool, tail_corr: bool):
             # static flags: ``first`` applies corr_l (rows < d, tile 0 only
             # since d ≤ PAD ≤ TILE); ``tail_corr`` applies corr_r + the ≥T
             # zero mask (rows ≥ T−d).  Tiles with neither flag skip the
             # iota/select work entirely.
-            midf = h_ref[pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :]
+            midf = h_ref[s, pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :]
             if "dw" in ablate:
-                t = midf * dw1[None, :] + dwb[None, :]
+                t = midf * dw1[s][None, :] + dwb[s][None, :]
             else:
                 # NOTE (measured negative result): replacing the concat-built
                 # shifts with direct sublane-aligned h_ref loads at ±d for
                 # d % 8 == 0 is ~3 % SLOWER — the concats lower to vreg
                 # selection over already-loaded data, while direct loads add
                 # two full-tile load+convert streams.
-                prevf = h_ref[pl.ds(pl.multiple_of(i * TILE, PAD), PAD), :]
+                prevf = h_ref[s, pl.ds(pl.multiple_of(i * TILE, PAD), PAD), :]
                 nxtf = h_ref[
-                    pl.ds(pl.multiple_of(PAD + (i + 1) * TILE, PAD), PAD), :
+                    s, pl.ds(pl.multiple_of(PAD + (i + 1) * TILE, PAD), PAD), :
                 ]
                 left = jnp.concatenate([prevf[PAD - d :], midf[: TILE - d]], axis=0)
                 right = jnp.concatenate([midf[d:], nxtf[:d]], axis=0)
-                t = left * dw0[None, :] + midf * dw1[None, :] + right * dw2[None, :]
-                t = t + dwb[None, :]
+                t = (
+                    left * dw0[s][None, :]
+                    + midf * dw1[s][None, :]
+                    + right * dw2[s][None, :]
+                )
+                t = t + dwb[s][None, :]
             if first or tail_corr:
                 rowv = jax.lax.broadcasted_iota(jnp.int32, (TILE, H), 0) + i * TILE
             if first:
-                t = t - jnp.where(rowv < d, corr_l[None, :], 0.0)
+                t = t - jnp.where(rowv < d, corr_l[s][None, :], 0.0)
             if tail_corr:
-                t = t - jnp.where(rowv >= T - d, corr_r[None, :], 0.0)
+                t = t - jnp.where(rowv >= T - d, corr_r[s][None, :], 0.0)
             if "prelu" not in ablate:
                 t = _prelu(t, a2)
+            if "p2alu3" in ablate:
+                for _ in range(3):
+                    t = t * jnp.float32(1.0000001) + jnp.float32(1e-30)
             if tail_corr:
                 t = jnp.where(rowv < T, t, 0.0)
             tb = t.astype(jnp.bfloat16)
             if "mm2" in ablate:
-                p_ref[pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :] = t[:, :C]
+                p_ref[s, pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :] = t[:, :C]
             else:
                 r = jax.lax.dot_general(
                     tb, wsg_ref[:],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                p_ref[pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :] = r
+                p_ref[s, pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :] = r
             if "p2stats" in ablate:
                 return jnp.float32(0.0), jnp.float32(0.0)
             if "p2" in mxu_stats:
@@ -387,29 +433,35 @@ def _kernel(
         def needs_tail(i):
             return (i + 1) * TILE > T - PAD  # d ≤ PAD: conservative, static
 
-        s2 = jnp.float32(0.0)
-        q2 = jnp.float32(0.0)
+        def p2_body_at(i, carry, first, tail_corr):
+            acc = list(carry)
+            for s in SS:
+                ds_, dq = p2_tile(s, i, first=first, tail_corr=tail_corr)
+                acc[s] = acc[s] + ds_
+                acc[S + s] = acc[S + s] + dq
+            return tuple(acc)
+
+        acc2 = (jnp.float32(0.0),) * (2 * S)
         first_tail = next(i for i in range(n_tiles) if needs_tail(i))
         for i in range(min(first_tail, 1)):
-            ds_, dq = p2_tile(i, first=True, tail_corr=False)
-            s2, q2 = s2 + ds_, q2 + dq
+            acc2 = p2_body_at(i, acc2, first=True, tail_corr=False)
         if first_tail > 1:
-
-            def p2_body(i, carry):
-                s, q = carry
-                ds_, dq = p2_tile(i, first=False, tail_corr=False)
-                return s + ds_, q + dq
-
-            s2, q2 = jax.lax.fori_loop(1, first_tail, p2_body, (s2, q2))
+            acc2 = jax.lax.fori_loop(
+                1, first_tail,
+                lambda i, c: p2_body_at(i, c, first=False, tail_corr=False),
+                acc2,
+            )
         for i in range(first_tail, n_tiles):
-            ds_, dq = p2_tile(i, first=(i == 0), tail_corr=True)
-            s2, q2 = s2 + ds_, q2 + dq
-        if "p2stats" in ablate:
-            mean2, rstd2_prev = jnp.float32(0.0), jnp.float32(1.0)
-        else:
-            mean2 = s2 * inv_count
-            rstd2_prev = jax.lax.rsqrt(q2 * inv_count - mean2 * mean2 + eps)
-        shift_prev = c_ref[b, 0, :] - mean2 * rstd2_prev * c_ref[b, 1, :]
+            acc2 = p2_body_at(i, acc2, first=(i == 0), tail_corr=True)
+        for s in SS:
+            if "p2stats" in ablate:
+                mean2, rstd2_prev[s] = jnp.float32(0.0), jnp.float32(1.0)
+            else:
+                mean2 = acc2[s] * inv_count
+                rstd2_prev[s] = jax.lax.rsqrt(
+                    acc2[S + s] * inv_count - mean2 * mean2 + eps
+                )
+            shift_prev[s] = c_ref[b, 0, :] - mean2 * rstd2_prev[s] * c_ref[b, 1, :]
 
     if full:
         # ---- epilogue (full): last pending update → mask head → mask×enc
@@ -418,27 +470,28 @@ def _kernel(
         # decoder frames there regardless of y's tail content.
         def epi_tile_full(i, _):
             sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
-            ytf = (
-                y_scr[sl, :].astype(jnp.float32)
-                + rstd2_prev * p_ref[sl, :]
-                + shift_prev[None, :]
-            )
-            yb = ytf.astype(jnp.bfloat16)
-            et = enc_ref[sl, :]
-            for s in range(nspk):
-                mt = jax.lax.dot_general(
-                    yb, wm_ref[:, s * H : (s + 1) * H],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) + bm_ref[0, s * H : (s + 1) * H][None, :]
-                mt = jax.nn.sigmoid(mt) if sigmoid else jnp.maximum(mt, 0.0)
-                db = mt.astype(jnp.bfloat16) * et
-                dec = jax.lax.dot_general(
-                    db, wd_ref[:],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+            for s in SS:
+                ytf = (
+                    y_scr[s, sl, :].astype(jnp.float32)
+                    + rstd2_prev[s] * p_ref[s, sl, :]
+                    + shift_prev[s][None, :]
                 )
-                o_ref[0, s, sl, :] = dec.astype(jnp.bfloat16)
+                yb = ytf.astype(jnp.bfloat16)
+                et = enc_ref[s, sl, :]
+                for k in range(nspk):
+                    mt = jax.lax.dot_general(
+                        yb, wm_ref[:, k * H : (k + 1) * H],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + bm_ref[0, k * H : (k + 1) * H][None, :]
+                    mt = jax.nn.sigmoid(mt) if sigmoid else jnp.maximum(mt, 0.0)
+                    db = mt.astype(jnp.bfloat16) * et
+                    dec = jax.lax.dot_general(
+                        db, wd_ref[:],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    o_ref[s, k, sl, :] = dec.astype(jnp.bfloat16)
             return 0
 
         jax.lax.fori_loop(0, n_tiles, epi_tile_full, 0)
@@ -446,15 +499,16 @@ def _kernel(
         # ---- epilogue: apply the last block's pending update ---------------
         def epi_tile(i, masked: bool):
             sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
-            ytf = (
-                y_ref[0, sl, :].astype(jnp.float32)
-                + rstd2_prev * p_ref[sl, :]
-                + shift_prev[None, :]
-            )
-            if masked:
-                r128 = jax.lax.broadcasted_iota(jnp.int32, (TILE, C), 0) + i * TILE
-                ytf = jnp.where(r128 < T, ytf, 0.0)
-            y_ref[0, sl, :] = ytf.astype(jnp.bfloat16)
+            for s in SS:
+                ytf = (
+                    y_ref[s, sl, :].astype(jnp.float32)
+                    + rstd2_prev[s] * p_ref[s, sl, :]
+                    + shift_prev[s][None, :]
+                )
+                if masked:
+                    r128 = jax.lax.broadcasted_iota(jnp.int32, (TILE, C), 0) + i * TILE
+                    ytf = jnp.where(r128 < T, ytf, 0.0)
+                y_ref[s, sl, :] = ytf.astype(jnp.bfloat16)
             return 0
 
         jax.lax.fori_loop(0, n_tiles - 1, lambda i, _: epi_tile(i, False), 0)
@@ -462,7 +516,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dilations", "T_valid", "mxu_stats")
+    jax.jit, static_argnames=("dilations", "T_valid", "mxu_stats", "streams")
 )
 def fused_tcn_separator(
     x: jnp.ndarray,  # [B, T, 128] bf16 (channels-last)
@@ -474,36 +528,39 @@ def fused_tcn_separator(
     dilations: Sequence[int],
     T_valid: int | None = None,
     mxu_stats: Sequence[str] = (),
+    streams: int = 1,
 ):
     B, T, Cb = x.shape
     _, Cw, Hh = w1s.shape
     assert Cb == Cw and Cb % 128 == 0 and Hh % 128 == 0, "lane-aligned only"
     assert wsgs.shape[1:] == (Hh, Cb)
+    assert B % streams == 0, "batch must tile into stream groups"
     T_valid = T if T_valid is None else T_valid
     Tpad = -(-T // TILE) * TILE
     if Tpad != T:
         x = jnp.pad(x, ((0, 0), (0, Tpad - T), (0, 0)))
 
+    S = streams
     kernel = functools.partial(
         _kernel, dilations=tuple(dilations), T=T_valid, Tpad=Tpad,
-        mxu_stats=tuple(mxu_stats), H=Hh, C=Cb,
+        mxu_stats=tuple(mxu_stats), H=Hh, C=Cb, streams=S,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # alphas
-        grid=(B,),
+        grid=(B // S,),
         in_specs=[
-            pl.BlockSpec((1, Tpad, Cb), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, Tpad, Cb), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, Tpad, Cb), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+            (S, Tpad, Cb), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((PAD + Tpad + PAD, Hh), jnp.float32),
-            pltpu.VMEM((Tpad, Cb), jnp.float32),
+            pltpu.VMEM((S, PAD + Tpad + PAD, Hh), jnp.float32),
+            pltpu.VMEM((S, Tpad, Cb), jnp.float32),
             pltpu.VMEM((2, Cb, Hh), jnp.bfloat16),
             pltpu.VMEM((2, Hh, Cb), jnp.bfloat16),
             pltpu.VMEM((2, 8, Hh), jnp.float32),
@@ -517,7 +574,7 @@ def fused_tcn_separator(
         compiler_params=pltpu.CompilerParams(
             # the peeled f32 boundary tiles push scoped stack slightly past
             # the 16 MB default; v5e has VMEM headroom beyond that
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=(64 + 32 * (S - 1)) * 1024 * 1024,
         ),
     )(alphas, x.astype(jnp.bfloat16), w1s, wsgs, vecs, cs)
     return y[:, :T, :]
@@ -527,7 +584,7 @@ def fused_tcn_separator(
     jax.jit,
     static_argnames=(
         "dilations", "nspk", "sigmoid", "T_valid", "prelu_max", "mxu_stats",
-        "ablate",
+        "ablate", "streams",
     ),
 )
 def fused_convtasnet_separator(
@@ -548,6 +605,7 @@ def fused_convtasnet_separator(
     prelu_max: bool = False,
     mxu_stats: Sequence[str] = (),
     ablate: Sequence[str] = (),
+    streams: int = 1,
 ):
     """Whole-separator fused forward: encoder matmul → bottleneck gLN+1×1 →
     R×X TCN blocks → mask head → mask×enc → decoder frames, ONE kernel.
@@ -555,26 +613,33 @@ def fused_convtasnet_separator(
     decoder frames out (plus one weight stream); every [T', 512]-scale
     activation — enc, h, v, y, the mask — lives and dies in VMEM.
 
+    ``streams`` co-resides that many samples per grid step so their
+    independent instruction streams interleave (see ``_kernel``); the
+    caller must check the VMEM envelope (``fused_vmem_bytes``).
+
     Returns [B, nspk, T', win] bf16 frames for ``overlap_add``."""
     B, T, W = frames.shape
     _, Hh, Cb = wsgs.shape
     assert Hh % 128 == 0 and Cb % 128 == 0, "lane-aligned only (N == H)"
     assert we.shape == (W, Hh) and w1s.shape[1:] == (Cb, Hh)
+    assert B % streams == 0, "batch must tile into stream groups"
     T_valid = T if T_valid is None else T_valid
     Tpad = -(-T // TILE) * TILE
     if Tpad != T:
         frames = jnp.pad(frames, ((0, 0), (0, Tpad - T), (0, 0)))
 
+    S = streams
     kernel = functools.partial(
         _kernel, dilations=tuple(dilations), T=T_valid, Tpad=Tpad,
         nspk=nspk, sigmoid=sigmoid, prelu_max=prelu_max,
         mxu_stats=tuple(mxu_stats), ablate=tuple(ablate), H=Hh, C=Cb,
+        streams=S,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # alphas
-        grid=(B,),
+        grid=(B // S,),
         in_specs=[
-            pl.BlockSpec((1, Tpad, W), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, Tpad, W), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # we
             pl.BlockSpec(memory_space=pltpu.ANY),  # w1s
             pl.BlockSpec(memory_space=pltpu.ANY),  # wsgs
@@ -585,14 +650,14 @@ def fused_convtasnet_separator(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wd
         ],
         out_specs=pl.BlockSpec(
-            (1, nspk, Tpad, W), lambda b, *_: (b, 0, 0, 0),
+            (S, nspk, Tpad, W), lambda b, *_: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((Tpad, Hh), jnp.bfloat16),  # enc
-            pltpu.VMEM((Tpad, Cb), jnp.bfloat16),  # y
-            pltpu.VMEM((PAD + Tpad + PAD, Hh), jnp.float32),  # h
-            pltpu.VMEM((Tpad, Cb), jnp.float32),  # p
+            pltpu.VMEM((S, Tpad, Hh), jnp.bfloat16),  # enc
+            pltpu.VMEM((S, Tpad, Cb), jnp.bfloat16),  # y
+            pltpu.VMEM((S, PAD + Tpad + PAD, Hh), jnp.float32),  # h
+            pltpu.VMEM((S, Tpad, Cb), jnp.float32),  # p
             pltpu.VMEM((2, Cb, Hh), jnp.bfloat16),
             pltpu.VMEM((2, Hh, Cb), jnp.bfloat16),
             pltpu.VMEM((2, 8, Hh), jnp.float32),
@@ -604,10 +669,25 @@ def fused_convtasnet_separator(
         out_shape=jax.ShapeDtypeStruct((B, nspk, Tpad, W), jnp.bfloat16),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=min(110, 100 + 10 * (S - 1)) * 1024 * 1024,
         ),
     )(alphas, frames.astype(jnp.bfloat16), we, w1s, wsgs, vecs, cs, wm, bm, wd)
     return out[:, :, :T, :]
+
+
+def fused_vmem_bytes(Tpad: int, H: int, C: int, nspk: int, W: int, S: int) -> int:
+    """Analytic VMEM footprint of ``fused_convtasnet_separator`` scratch +
+    in/out blocks, used by the dispatch gate to pick ``streams``."""
+    per_stream = (
+        Tpad * H * 2  # enc bf16
+        + Tpad * C * 2  # y bf16
+        + (PAD + Tpad + PAD) * H * 4  # h f32
+        + Tpad * C * 4  # p f32
+        + Tpad * W * 2  # frames in
+        + nspk * Tpad * W * 2  # decoder frames out
+    )
+    weights = 2 * (C * H * 2 + H * C * 2 + 8 * H * 4) + W * H * 2 + C * nspk * H * 2
+    return S * per_stream + weights
 
 
 def pack_convtasnet_full_params(params, R: int, X: int, num_spks: int):

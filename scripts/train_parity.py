@@ -28,6 +28,13 @@ REFERENCE_PATH = "/root/reference"
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
 
+# Parity runs are a CPU workload; the axon TPU plugin ignores JAX_PLATFORMS,
+# so force CPU through the config API (else this script grabs the TPU chip
+# and contends with benchmark runs — see tests/conftest.py).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def make_synthetic_batches(n_batches, batch, T, n_src=2, seed=0, sr=8000):
     """Speech-like synthetic sources: AM-modulated harmonic tones + noise."""
@@ -62,6 +69,12 @@ def train_torch(model_name, kw, batches, epochs, lr):
 
     torch.manual_seed(0)
     model = getattr(ref_models, model_name)(**kw)
+    # eval() disables dropout/DropPath (TDANet hardcodes 0.1 in its attention,
+    # look2hear/models/tdanet.py:254-256; Sepformer's TransformerBlock
+    # defaults to 0.1) so both frameworks run the SAME deterministic math —
+    # the comparison is framework parity, not stochastic-regularizer parity.
+    # No-op for the dropout-free families (convtasnet/dprnn/dptnet/bsrnn).
+    model.eval()
     init_sd = {k: v.detach().cpu().numpy().copy() for k, v in model.state_dict().items()}
     loss_fn = ref_losses.PITLossWrapper(
         ref_losses.pairwise_neg_snr, pit_from="pw_mtx", threshold_byloss=True
@@ -182,6 +195,30 @@ def run(
         )
         ref_name, conv_kw = "TasNet", dict(layer=2, module="DPTNet")
         ours_cls = our_models.TasNet
+    elif model_key == "sepformer":
+        d = 64 if scale == "converged" else 32
+        kw = dict(
+            encoder_kernel_size=16, encoder_in_nchannels=1,
+            encoder_out_nchannels=d, masknet_chunksize=50,
+            masknet_numlayers=2, masknet_norm="gLN", masknet_numspks=2,
+            intra_numlayers=2, inter_numlayers=2, intra_nhead=4,
+            inter_nhead=4, intra_dffn=4 * d, inter_dffn=4 * d,
+            intra_use_positional=True, inter_use_positional=True,
+            intra_norm_before=True, inter_norm_before=True,
+            intra_causal=False, inter_causal=False, sample_rate=8000,
+        )
+        ref_name = "Sepformer"
+        conv_kw = dict(masknet_numlayers=2, intra_numlayers=2, inter_numlayers=2)
+        ours_cls = our_models.Sepformer
+    elif model_key == "tdanet":
+        oc = 32 if scale == "converged" else 16
+        kw = dict(
+            out_channels=oc, in_channels=4 * oc, num_blocks=4,
+            upsampling_depth=4, enc_kernel_size=4, num_sources=2,
+            sample_rate=8000,
+        )
+        ref_name, conv_kw = "TDANet", dict(upsampling_depth=4)
+        ours_cls = our_models.TDANet
     elif model_key == "bsrnn":
         fd = 16 if scale == "converged" else 8
         kw = dict(
@@ -204,6 +241,7 @@ def run(
     conv_name = {
         "convtasnet": "ConvTasNet", "dprnn": "TasNet",
         "dptnet": "TasNetFull", "bsrnn": "BSRNN",
+        "sepformer": "Sepformer", "tdanet": "TDANet",
     }[model_key]
     params = convert(conv_name, init_sd, **conv_kw)
     params, our_losses = train_jax(
@@ -259,14 +297,36 @@ def main():
         help="override the per-model converged-scale epoch counts",
     )
     ap.add_argument("--out", default=os.path.join(REPO_ROOT, "docs", "TRAINING_PARITY.json"))
+    ap.add_argument(
+        "--models", default=None,
+        help="comma-separated subset to (re)run; results merge into --out",
+    )
     args = ap.parse_args()
 
     # epoch budgets sized so both frameworks pass 10 dB held-in SI-SDRi
-    budgets = {"convtasnet": 400, "dprnn": 150, "dptnet": 150, "bsrnn": 300}
+    budgets = {
+        "convtasnet": 400, "dprnn": 150, "dptnet": 150, "bsrnn": 300,
+        "sepformer": 300, "tdanet": 300,
+    }
+    keys = (
+        args.models.split(",") if args.models
+        else ("convtasnet", "dprnn", "dptnet", "bsrnn", "sepformer", "tdanet")
+    )
     results = {}
-    for key in ("convtasnet", "dprnn", "dptnet", "bsrnn"):
+    if args.models and os.path.exists(args.out):
+        with open(args.out) as f:
+            results = json.load(f)
+    # Sepformer MUST run at batch=1: the reference's masknet reshape
+    # (look2hear/models/sepformer.py:1004, [spks,B,N,L] viewed as
+    # [spks*B,N,L] then regrouped as [B,spks,-1]) scrambles (batch, speaker)
+    # slots for B>1, so its batched training never converges.  Ours is
+    # per-sample-correct (tests/test_batch_consistency.py); batch=1 is the
+    # regime where both frameworks compute the same model.
+    batch_overrides = {"sepformer": 1}
+    for key in keys:
         r = run(
-            key, epochs=args.epochs or budgets[key], scale="converged", lr=2e-3
+            key, epochs=args.epochs or budgets[key], scale="converged",
+            lr=2e-3, batch=batch_overrides.get(key, 4),
         )
         results[key] = r
         print(

@@ -132,6 +132,48 @@ def test_full_separator_generalized_shape_interpret_parity(interpret_mode):
     assert float(rel.mean()) < 0.02, float(rel.mean())
 
 
+def test_full_separator_streams_interpret_parity(interpret_mode):
+    # streams=2 co-residency must be bit-identical to streams=1 — the
+    # streams only share weights, never data (ops/pallas/convtasnet_block.py)
+    from audio_only_speech_separation_tpu.models import ConvTasNet
+    from audio_only_speech_separation_tpu.ops.conv import frame_signal
+    from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import (
+        fused_convtasnet_separator,
+        pack_convtasnet_full_params,
+    )
+
+    model = ConvTasNet(
+        N=512, L=16, B=128, H=512, P=3, X=2, R=1, num_spks=2,
+        sample_rate=8000,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(4, 4000)).astype(np.float32)
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), x)
+    we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, dils = (
+        pack_convtasnet_full_params(params, 1, 2, 2)
+    )
+    win, pad_stride, fb_stride = model.L, model.L // 2, model.L // 4
+    xb = x.astype(jnp.bfloat16)
+    rest = win - (pad_stride + x.shape[1] % win) % win
+    if rest > 0:
+        xb = jnp.pad(xb, ((0, 0), (0, rest)))
+    xb = jnp.pad(xb, ((0, 0), (win - pad_stride, win - pad_stride)))
+    frames = frame_signal(xb, win, fb_stride)
+
+    def run(S):
+        return np.asarray(
+            fused_convtasnet_separator(
+                frames, we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd,
+                dilations=dils, nspk=2, sigmoid=False, prelu_max=True,
+                streams=S,
+            ).astype(jnp.float32)
+        )
+
+    ref, got = run(1), run(2)
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_tcn_kernel_interpret_parity(interpret_mode):
     # the TCN-only kernel vs the f32 XLA Conv1DBlock stack
     from audio_only_speech_separation_tpu.models.convtasnet import Conv1DBlock
