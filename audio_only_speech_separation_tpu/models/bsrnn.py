@@ -21,6 +21,7 @@ import numpy as np
 from ..ops.norms import GlobalLayerNorm
 from ..ops.rnn import BiLSTM, LSTM
 from ..ops.stft import hann_window, istft, stft
+from ..parallel.sequence import current_mesh_axes, shard_chunks
 from . import register_model
 from .base import BaseModel
 
@@ -94,10 +95,30 @@ class BSNet(nn.Module):
     def __call__(self, x, train: bool = False):  # [B, nband*N, T]
         B, _, T = x.shape
         N = self.feature_dim
-        h = x.reshape(B * self.nband, N, T)
+        # Band-axis sequence parallelism (parallel/sequence.py): the band
+        # axis is BSRNN's analog of the dual-path chunk axis — the per-band
+        # time RNNs are embarrassingly parallel over bands, while the
+        # band-comm RNN below needs the full band sequence.  Under a mesh
+        # carrying ``sp`` the per-band pass runs band-MAJOR so the sharded
+        # band axis survives the [nband·B, N, T] flatten (XLA propagates
+        # shardings through a merge only when the sharded dim is the major
+        # one) and XLA inserts the gather around the band-comm pass on its
+        # own.  Off-mesh this branch is statically dead: the compiled
+        # single-chip program is byte-identical to the reference layout.
+        band_sharded = "sp" in current_mesh_axes()
+        if band_sharded:
+            h = x.reshape(B, self.nband, N, T)
+            h = shard_chunks(h, chunk_axis=1)
+            h = jnp.swapaxes(h, 0, 1).reshape(self.nband * B, N, T)
+        else:
+            h = x.reshape(B * self.nband, N, T)
         for i in range(self.num_layer):
             h = ResRNN(N, N * 2, dropout=self.dropout, name=f"band_rnn_{i}")(h, train)
-        h = h.reshape(B, self.nband, N, T)
+        if band_sharded:
+            h = jnp.swapaxes(h.reshape(self.nband, B, N, T), 0, 1)
+            h = shard_chunks(h, chunk_axis=1)
+        else:
+            h = h.reshape(B, self.nband, N, T)
         # band comm: sequences along the band axis, batched over B*T
         h = jnp.transpose(h, (0, 3, 2, 1)).reshape(B * T, N, self.nband)
         h = ResRNN(

@@ -14,7 +14,7 @@ import pytest
 from jax.sharding import PartitionSpec as P
 
 from audio_only_speech_separation_tpu.losses import PITLossWrapper, pairwise_neg_snr
-from audio_only_speech_separation_tpu.models import Sepformer, TasNet
+from audio_only_speech_separation_tpu.models import BSRNN, Sepformer, TasNet
 from audio_only_speech_separation_tpu.parallel import (
     make_mesh,
     maybe_shard,
@@ -102,6 +102,53 @@ def test_sepformer_forward_equality_sp():
         b = shard_batch(mix, mesh)
         out = np.asarray(jax.jit(model.apply)(p, b))
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def _bsrnn():
+    # win 256 @ 8 kHz → 8 bands (compute_band_widths), divisible by sp=2
+    return BSRNN(
+        win=256, stride=64, feature_dim=8, num_spks=2, num_layer=1,
+        num_repeat=2, sample_rate=8000,
+    )
+
+
+def test_bsrnn_forward_equality_sp():
+    """BSRNN's band axis on sp: sharded forward ≡ single-device forward."""
+    model = _bsrnn()
+    rng = np.random.default_rng(3)
+    mix = jnp.asarray(rng.normal(size=(4, 1600)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), mix)
+    ref = np.asarray(jax.jit(model.apply)(params, mix))
+    mesh = make_mesh(8, ("dp", "sp"), shape=(4, 2))
+    with jax.set_mesh(mesh):
+        p = replicate(params, mesh)
+        b = shard_batch(mix, mesh)
+        out = np.asarray(jax.jit(model.apply)(p, b))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
+def test_bsrnn_train_step_equality_sp():
+    model = _bsrnn()
+    loss_fn = PITLossWrapper(pairwise_neg_snr, threshold_byloss=False)
+    rng = np.random.default_rng(4)
+    mix = jnp.asarray(rng.normal(size=(4, 1600)).astype(np.float32))
+    src = jnp.asarray(rng.normal(size=(4, 2, 1600)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), mix)
+
+    def loss(p, m, s):
+        return loss_fn(model.apply(p, m), s)
+
+    l_ref, g_ref = jax.jit(jax.value_and_grad(loss))(params, mix, src)
+    mesh = make_mesh(8, ("dp", "sp"), shape=(4, 2))
+    with jax.set_mesh(mesh):
+        p = replicate(params, mesh)
+        bm, bs = shard_batch((mix, src), mesh)
+        l_sp, g_sp = jax.jit(jax.value_and_grad(loss))(p, bm, bs)
+    assert abs(float(l_sp) - float(l_ref)) < 1e-5
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_sp)
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5, rtol=3e-4)
 
 
 def test_constraint_produces_sp_sharding():
