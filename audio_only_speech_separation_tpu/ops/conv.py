@@ -39,15 +39,23 @@ def frame_signal(x: jnp.ndarray, win: int, stride: int) -> jnp.ndarray:
 
 
 def overlap_add(frames: jnp.ndarray, stride: int) -> jnp.ndarray:
-    """frames: [B, n, win] → signal [B, (n-1)*stride + win] by overlap-add."""
+    """frames: [B, n, win] → signal [B, (n-1)*stride + win] by overlap-add.
+
+    For win % stride == 0 the r = win/stride overlapping contributions are
+    summed as PADDED SLICES (out[j:j+n] view of chunk j) instead of
+    ``.at[].add`` scatters — XLA fuses the pads+adds into one elementwise
+    kernel, where the scatter form lowered to r separate update ops
+    (measured on the ConvTasNet bench path: the scatter OA dominated the
+    +1.3 ms/iter XLA glue around the fused separator kernel)."""
     B, n, win = frames.shape
     T = (n - 1) * stride + win
     if win % stride == 0:
         r = win // stride
-        out = jnp.zeros((B, n - 1 + r, stride), frames.dtype)
         chunks = frames.reshape(B, n, r, stride)
+        out = None
         for j in range(r):
-            out = out.at[:, j : j + n].add(chunks[:, :, j])
+            cj = jnp.pad(chunks[:, :, j], ((0, 0), (j, r - 1 - j), (0, 0)))
+            out = cj if out is None else out + cj
         return out.reshape(B, -1)[:, :T]
     out = jnp.zeros((B, T), frames.dtype)
     idx = jnp.arange(n)[:, None] * stride + jnp.arange(win)[None, :]

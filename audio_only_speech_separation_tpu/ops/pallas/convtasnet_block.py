@@ -106,7 +106,33 @@ def _kernel(
     H: int = 512,  # hidden/encoder channels (N == H); multiple of 128
     C: int = 128,  # bottleneck channels; multiple of 128
     streams: int = 1,  # samples co-resident per program (see below)
+    dw_p1: bool = False,  # compute raw depthwise taps in P1 (see below)
+    tp_bf16: bool = False,  # bf16 elementwise chain (requires dw_p1)
 ):
+    # ``dw_p1`` (round 4, MEASURED NEGATIVE — kept as a re-measurement
+    # knob): the depthwise conv is LINEAR, so the gLN-1 affine fold
+    # commutes with it —
+    #     dw(norm1 h) = sc1 ⊙ dw_raw(h) + (Σₖdwₖ)⊙sh1 + dwb
+    # so the three shifted taps can be combined on RAW h in P1 while ht is
+    # in registers (P1 stores tp = dw_raw(ht) instead of h; the h scratch
+    # is replaced by a halo-free tp scratch; P2 collapses to load tp →
+    # t = sc1·tp + shv → PReLU → stats → convert → dot).  Cross-tile
+    # boundary terms: the previous tile's bottom d rows arrive via a
+    # [PAD, H] carry strip added to the tile head, and the NEXT tile's top
+    # d rows are patched into the previous tile's tail with a [PAD, H]
+    # read-modify-write.  Measured 4.10 ms vs 4.0 baseline at the headline
+    # shape: the round-4 probe ablations (p1alu3/p1alu6/p2alu3,
+    # kernel_ablation.py) show P1 and P2 have the SAME marginal VPU op
+    # cost (~0.25 ms per [TILE, H] op) — the kernel is VPU-issue-bound in
+    # BOTH passes, so moving ops between passes is a wash and the carry/fix
+    # strips are pure overhead.  Math validated (interpret + on-chip).
+    # ``tp_bf16`` (round 4, MEASURED NEGATIVE — 7.79 ms vs 4.0, kept as a
+    # knob for future TPU generations): runs the whole elementwise chain in
+    # bf16 on top of dw_p1 (bias/PReLU/taps/affine in bf16, tp stored bf16,
+    # no convert before the P2 dot, f32-accumulated stats).  On v5e the
+    # VPU has no native bf16 arithmetic win for this pattern — every bf16
+    # op pays converts, roughly DOUBLING the chain.  Consistent with the
+    # round-3 "p2-in-bf16" negative (5.78 ms).
     # ``streams`` > 1 processes that many SAMPLES inside one grid step, with
     # every per-tile op emitted for all streams in the same loop body.  The
     # streams share weights and have no data dependencies, so Mosaic's
@@ -163,19 +189,53 @@ def _kernel(
         return jnp.sum(rs[:, 0:1]), jnp.sum(rq[:, 0:1])
 
     full = nspk > 0
+    # when dw_p1: h_ref holds tp = dw_raw(h) (halo-free [S, Tpad, H]) and a
+    # [S, PAD, H] carry strip cst_ref follows it in the scratch list
     if full:
-        (f_ref, we_ref, w1_hbm, wsg_hbm, vec_hbm, c_ref, wm_ref, bm_ref,
-         wd_ref, o_ref, enc_ref, y_scr, h_ref, p_ref, w1_buf, wsg_buf,
-         vec_buf, sem) = refs
+        if dw_p1:
+            (f_ref, we_ref, w1_hbm, wsg_hbm, vec_hbm, c_ref, wm_ref, bm_ref,
+             wd_ref, o_ref, enc_ref, y_scr, h_ref, cst_ref, p_ref, w1_buf,
+             wsg_buf, vec_buf, sem) = refs
+        else:
+            (f_ref, we_ref, w1_hbm, wsg_hbm, vec_hbm, c_ref, wm_ref, bm_ref,
+             wd_ref, o_ref, enc_ref, y_scr, h_ref, p_ref, w1_buf, wsg_buf,
+             vec_buf, sem) = refs
     else:
-        (x_ref, w1_hbm, wsg_hbm, vec_hbm, c_ref, y_ref, h_ref, p_ref,
-         w1_buf, wsg_buf, vec_buf, sem) = refs
+        if dw_p1:
+            (x_ref, w1_hbm, wsg_hbm, vec_hbm, c_ref, y_ref, h_ref, cst_ref,
+             p_ref, w1_buf, wsg_buf, vec_buf, sem) = refs
+        else:
+            (x_ref, w1_hbm, wsg_hbm, vec_hbm, c_ref, y_ref, h_ref, p_ref,
+             w1_buf, wsg_buf, vec_buf, sem) = refs
 
     n_tiles = Tpad // TILE
     inv_count = 1.0 / (float(T) * float(H))
     eps = 1e-8
     S = streams
     SS = range(S)
+    assert not (tp_bf16 and not dw_p1), "tp_bf16 requires dw_p1"
+    assert not (tp_bf16 and (ablate or mxu_stats)), (
+        "ablation/probe tokens are f32-path diagnostics"
+    )
+    cdt = jnp.bfloat16 if tp_bf16 else jnp.float32  # elementwise-chain dtype
+
+    # Mosaic cannot relayout an i1 mask born from an i32 iota ((8, 128)
+    # sublane tiling) onto bf16 operands ((16, 128) tiling) — "Invalid
+    # relayout … vector<…xi1>".  For the bf16 chain, boundary masks are
+    # therefore built as f32 selects (native mask layout) and CONVERTED,
+    # which only edge tiles pay for.
+    def _mask_rows(x, keep_cond):
+        """Zero the rows where ``keep_cond`` (an i32-iota comparison) is
+        False, in x's dtype."""
+        if x.dtype == jnp.float32:
+            return jnp.where(keep_cond, x, 0.0)
+        return x * jnp.where(keep_cond, 1.0, 0.0).astype(x.dtype)
+
+    def _sub_where(x, cond, vec_f32):
+        """x − 1[cond]·vec (broadcast [H] vector) in x's dtype."""
+        if x.dtype == jnp.float32:
+            return x - jnp.where(cond, vec_f32[None, :], 0.0)
+        return x - jnp.where(cond, vec_f32[None, :], 0.0).astype(x.dtype)
 
     def y_get(s, sl):
         return y_scr[s, sl, :] if full else y_ref[s, sl, :]
@@ -187,12 +247,14 @@ def _kernel(
             y_ref[s, sl, :] = v
 
     # zero the halos once per sample; the tail rows [T, Tpad) are written as
-    # zeros by P1's row mask every block
-    for s in SS:
-        h_ref[s, 0:PAD, :] = jnp.zeros((PAD, H), jnp.float32)
-        h_ref[s, PAD + Tpad : PAD + Tpad + PAD, :] = jnp.zeros(
-            (PAD, H), jnp.float32
-        )
+    # zeros by P1's row mask every block.  (dw_p1 has no halos: tile shifts
+    # bring in zeros at the sequence ends by construction.)
+    if not dw_p1:
+        for s in SS:
+            h_ref[s, 0:PAD, :] = jnp.zeros((PAD, H), jnp.float32)
+            h_ref[s, PAD + Tpad : PAD + Tpad + PAD, :] = jnp.zeros(
+                (PAD, H), jnp.float32
+            )
 
     if not full:
         # y starts as x (the residual accumulator lives in y)
@@ -278,9 +340,13 @@ def _kernel(
         # ---- P1: y += rstd₂·P + shift (pending update), h = prelu(y@W1+b1)
         # Row masking (zeroing rows ≥ T) is only live in the LAST tile — the
         # boundary tile is peeled so the hot middle tiles run maskless.
+        # With dw_p1 the raw-tap combination + carry/fix also live here.
         b1v = vec_ref[_B1, :]
+        if dw_p1:
+            for s in SS:
+                cst_ref[s] = jnp.zeros((PAD, H), cdt)
 
-        def p1_tile(s, i, masked: bool):
+        def p1_tile(s, i, masked: bool, fix: bool = False):
             sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
             if b > 0:
                 if full and b == 1:
@@ -304,11 +370,11 @@ def _kernel(
             ht = jax.lax.dot_general(
                 yt, w1_ref[:],
                 dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            ht = ht + b1v[None, :]
+                preferred_element_type=jnp.float32,  # Mosaic: acc must be 32-bit
+            ).astype(cdt)
+            ht = ht + b1v[None, :].astype(cdt)
             if "prelu" not in ablate:
-                ht = _prelu(ht, a1)
+                ht = _prelu(ht, a1.astype(cdt))
             if "p1alu3" in ablate or "p1alu6" in ablate:
                 n_extra = 6 if "p1alu6" in ablate else 3
                 for _ in range(n_extra):
@@ -317,8 +383,39 @@ def _kernel(
                 ht = ht + h_ref[s, pl.ds(pl.multiple_of(i * TILE, PAD), TILE), :]
             if masked:
                 row = jax.lax.broadcasted_iota(jnp.int32, (TILE, H), 0) + i * TILE
-                ht = jnp.where(row < T, ht, 0.0)
-            h_ref[s, pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :] = ht
+                ht = _mask_rows(ht, row < T)
+            if dw_p1:
+                # raw depthwise taps on in-register ht (gLN-1 fold applied
+                # later in P2 as an affine); zeros shift in at tile edges,
+                # matching the zero halos of the two-pass layout
+                w0 = vec_ref[_DW0, :][None, :].astype(cdt)
+                w1v = vec_ref[_DW1, :][None, :].astype(cdt)
+                w2 = vec_ref[_DW2, :][None, :].astype(cdt)
+                zd = jnp.zeros((d, H), cdt)
+                up = jnp.concatenate([ht[d:], zd], axis=0)  # ht[r+d]
+                down = jnp.concatenate([zd, ht[: TILE - d]], axis=0)  # ht[r−d]
+                tp = down * w0 + ht * w1v + up * w2
+                # head rows [0, d) take the previous tile's w0-weighted
+                # bottom spill from the carry strip (rows [d, PAD) are zero)
+                tp = jnp.concatenate([tp[:PAD] + cst_ref[s], tp[PAD:]], axis=0)
+                h_ref[s, pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :] = tp
+                if fix:
+                    # patch w2·ht[:d] into the PREVIOUS tile's last d rows
+                    fx = ht[:d] * w2
+                    if d < PAD:
+                        fx = jnp.concatenate(
+                            [jnp.zeros((PAD - d, H), cdt), fx], axis=0
+                        )
+                    win_ = pl.ds(pl.multiple_of(i * TILE - PAD, PAD), PAD)
+                    h_ref[s, win_, :] = h_ref[s, win_, :] + fx
+                cr = ht[TILE - d :] * w0
+                if d < PAD:
+                    cr = jnp.concatenate(
+                        [cr, jnp.zeros((PAD - d, H), cdt)], axis=0
+                    )
+                cst_ref[s] = cr
+            else:
+                h_ref[s, pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :] = ht
             if "p1st" in ablate:
                 h_ref[s, pl.ds(pl.multiple_of(i * TILE, PAD), TILE), :] = (
                     ht * jnp.float32(1.0000001)
@@ -329,24 +426,38 @@ def _kernel(
                 return _mxu_sums(
                     ht.astype(jnp.bfloat16), (ht * ht).astype(jnp.bfloat16)
                 )
-            return jnp.sum(ht), jnp.sum(ht * ht)
+            return (
+                jnp.sum(ht, dtype=jnp.float32),
+                jnp.sum(ht * ht, dtype=jnp.float32),
+            )
 
-        def p1_body(i, carry, masked=False):
+        def p1_body(i, carry, masked=False, fix=False):
             acc = list(carry)
             for s in SS:
-                ds_, dq = p1_tile(s, i, masked=masked)
+                ds_, dq = p1_tile(s, i, masked=masked, fix=fix)
                 acc[s] = acc[s] + ds_
                 acc[S + s] = acc[S + s] + dq
             return tuple(acc)
 
-        acc1 = jax.lax.fori_loop(
-            0, n_tiles - 1, p1_body, (jnp.float32(0.0),) * (2 * S)
-        )
-        # peeled boundary tile: rows ≥ T must be zero-masked
-        acc1 = list(p1_body(n_tiles - 1, acc1, masked=True))
+        # tile 0 is peeled (no fix window exists below it); the last tile is
+        # peeled for the ≥T row mask; middle tiles run in a fori_loop
+        acc1 = (jnp.float32(0.0),) * (2 * S)
+        if n_tiles == 1:
+            acc1 = list(p1_body(0, acc1, masked=True))
+        else:
+            acc1 = p1_body(0, acc1)
+            if n_tiles > 2:
+                acc1 = jax.lax.fori_loop(
+                    1, n_tiles - 1,
+                    lambda i, c: p1_body(i, c, fix=dw_p1), acc1,
+                )
+            acc1 = list(p1_body(n_tiles - 1, acc1, masked=True, fix=dw_p1))
         # per-stream gLN-1 folds into the depthwise taps:
         # norm1(h) = h·sc1 + sh1;  dw(norm1 h) = Σₖ(dwₖ·sc1)⊙h_±d + (Σₖdwₖ)·sh1 + dwb
+        # (dw_p1: the taps are already combined on raw h, so only the affine
+        #  pair (sc1, shv) is needed — t = sc1⊙tp + shv.)
         dw0, dw1, dw2, dwb, corr_l, corr_r = [], [], [], [], [], []
+        sc1s, shvs = [], []
         for s in SS:
             if "p1stats" in ablate:
                 mean1, rstd1 = jnp.float32(0.0), jnp.float32(1.0)
@@ -357,13 +468,22 @@ def _kernel(
                 )
             sc1 = vec_ref[_G1, :] * rstd1  # [512]
             sh1 = vec_ref[_BT1, :] - mean1 * sc1
-            dw0.append(vec_ref[_DW0, :] * sc1)
-            dw1.append(vec_ref[_DW1, :] * sc1)
-            dw2.append(vec_ref[_DW2, :] * sc1)
-            dwb.append(
-                vec_ref[_DWB, :]
-                + (vec_ref[_DW0, :] + vec_ref[_DW1, :] + vec_ref[_DW2, :]) * sh1
-            )
+            if dw_p1:
+                sc1s.append(sc1)
+                shvs.append(
+                    vec_ref[_DWB, :]
+                    + (vec_ref[_DW0, :] + vec_ref[_DW1, :] + vec_ref[_DW2, :])
+                    * sh1
+                )
+            else:
+                dw0.append(vec_ref[_DW0, :] * sc1)
+                dw1.append(vec_ref[_DW1, :] * sc1)
+                dw2.append(vec_ref[_DW2, :] * sc1)
+                dwb.append(
+                    vec_ref[_DWB, :]
+                    + (vec_ref[_DW0, :] + vec_ref[_DW1, :] + vec_ref[_DW2, :])
+                    * sh1
+                )
             # Boundary correction: the reference zero-pads AFTER
             # normalization, so the folded sh1 term must not be contributed
             # by out-of-range taps (first d rows: left; last d rows: right).
@@ -378,10 +498,17 @@ def _kernel(
             # since d ≤ PAD ≤ TILE); ``tail_corr`` applies corr_r + the ≥T
             # zero mask (rows ≥ T−d).  Tiles with neither flag skip the
             # iota/select work entirely.
-            midf = h_ref[s, pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :]
-            if "dw" in ablate:
+            if dw_p1:
+                tpf = h_ref[s, pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :]
+                t = (
+                    tpf * sc1s[s][None, :].astype(cdt)
+                    + shvs[s][None, :].astype(cdt)
+                )
+            elif "dw" in ablate:
+                midf = h_ref[s, pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :]
                 t = midf * dw1[s][None, :] + dwb[s][None, :]
             else:
+                midf = h_ref[s, pl.ds(pl.multiple_of(PAD + i * TILE, PAD), TILE), :]
                 # NOTE (measured negative result): replacing the concat-built
                 # shifts with direct sublane-aligned h_ref loads at ±d for
                 # d % 8 == 0 is ~3 % SLOWER — the concats lower to vreg
@@ -393,25 +520,25 @@ def _kernel(
                 ]
                 left = jnp.concatenate([prevf[PAD - d :], midf[: TILE - d]], axis=0)
                 right = jnp.concatenate([midf[d:], nxtf[:d]], axis=0)
-                t = (
-                    left * dw0[s][None, :]
-                    + midf * dw1[s][None, :]
-                    + right * dw2[s][None, :]
+                # nested so every step is an a·b+c FMA (the flat form emits
+                # mul+mul+add+mul+add+add; this form is 1 mul + 3 FMA)
+                t = left * dw0[s][None, :] + (
+                    midf * dw1[s][None, :]
+                    + (right * dw2[s][None, :] + dwb[s][None, :])
                 )
-                t = t + dwb[s][None, :]
             if first or tail_corr:
                 rowv = jax.lax.broadcasted_iota(jnp.int32, (TILE, H), 0) + i * TILE
             if first:
-                t = t - jnp.where(rowv < d, corr_l[s][None, :], 0.0)
+                t = _sub_where(t, rowv < d, corr_l[s])
             if tail_corr:
-                t = t - jnp.where(rowv >= T - d, corr_r[s][None, :], 0.0)
+                t = _sub_where(t, rowv >= T - d, corr_r[s])
             if "prelu" not in ablate:
-                t = _prelu(t, a2)
+                t = _prelu(t, a2.astype(cdt))
             if "p2alu3" in ablate:
                 for _ in range(3):
                     t = t * jnp.float32(1.0000001) + jnp.float32(1e-30)
             if tail_corr:
-                t = jnp.where(rowv < T, t, 0.0)
+                t = _mask_rows(t, rowv < T)
             tb = t.astype(jnp.bfloat16)
             if "mm2" in ablate:
                 p_ref[s, pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :] = t[:, :C]
@@ -426,7 +553,10 @@ def _kernel(
                 return jnp.float32(0.0), jnp.float32(0.0)
             if "p2" in mxu_stats:
                 return _mxu_sums(tb, (t * t).astype(jnp.bfloat16))
-            return jnp.sum(t), jnp.sum(t * t)
+            return (
+                jnp.sum(t, dtype=jnp.float32),
+                jnp.sum(t * t, dtype=jnp.float32),
+            )
 
         # exact static extents: corr_l lives in rows < d (tile 0 only, since
         # d ≤ PAD ≤ TILE); corr_r/zero-mask live in rows ≥ T − d
@@ -516,7 +646,10 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("dilations", "T_valid", "mxu_stats", "streams")
+    jax.jit,
+    static_argnames=(
+        "dilations", "T_valid", "mxu_stats", "streams", "dw_p1", "tp_bf16",
+    ),
 )
 def fused_tcn_separator(
     x: jnp.ndarray,  # [B, T, 128] bf16 (channels-last)
@@ -529,6 +662,8 @@ def fused_tcn_separator(
     T_valid: int | None = None,
     mxu_stats: Sequence[str] = (),
     streams: int = 1,
+    dw_p1: bool = False,
+    tp_bf16: bool = False,
 ):
     B, T, Cb = x.shape
     _, Cw, Hh = w1s.shape
@@ -543,7 +678,15 @@ def fused_tcn_separator(
     S = streams
     kernel = functools.partial(
         _kernel, dilations=tuple(dilations), T=T_valid, Tpad=Tpad,
-        mxu_stats=tuple(mxu_stats), H=Hh, C=Cb, streams=S,
+        mxu_stats=tuple(mxu_stats), H=Hh, C=Cb, streams=S, dw_p1=dw_p1,
+        tp_bf16=tp_bf16,
+    )
+    cdt = jnp.bfloat16 if tp_bf16 else jnp.float32
+    h_scr = (
+        [pltpu.VMEM((S, Tpad, Hh), cdt),  # tp (halo-free)
+         pltpu.VMEM((S, PAD, Hh), cdt)]  # carry strip
+        if dw_p1
+        else [pltpu.VMEM((S, PAD + Tpad + PAD, Hh), jnp.float32)]
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # alphas
@@ -558,8 +701,7 @@ def fused_tcn_separator(
         out_specs=pl.BlockSpec(
             (S, Tpad, Cb), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((S, PAD + Tpad + PAD, Hh), jnp.float32),
+        scratch_shapes=h_scr + [
             pltpu.VMEM((S, Tpad, Cb), jnp.float32),
             pltpu.VMEM((2, Cb, Hh), jnp.bfloat16),
             pltpu.VMEM((2, Hh, Cb), jnp.bfloat16),
@@ -584,7 +726,7 @@ def fused_tcn_separator(
     jax.jit,
     static_argnames=(
         "dilations", "nspk", "sigmoid", "T_valid", "prelu_max", "mxu_stats",
-        "ablate", "streams",
+        "ablate", "streams", "dw_p1", "tp_bf16",
     ),
 )
 def fused_convtasnet_separator(
@@ -606,6 +748,8 @@ def fused_convtasnet_separator(
     mxu_stats: Sequence[str] = (),
     ablate: Sequence[str] = (),
     streams: int = 1,
+    dw_p1: bool = False,
+    tp_bf16: bool = False,
 ):
     """Whole-separator fused forward: encoder matmul → bottleneck gLN+1×1 →
     R×X TCN blocks → mask head → mask×enc → decoder frames, ONE kernel.
@@ -633,7 +777,14 @@ def fused_convtasnet_separator(
         _kernel, dilations=tuple(dilations), T=T_valid, Tpad=Tpad,
         nspk=nspk, sigmoid=sigmoid, prelu_max=prelu_max,
         mxu_stats=tuple(mxu_stats), ablate=tuple(ablate), H=Hh, C=Cb,
-        streams=S,
+        streams=S, dw_p1=dw_p1, tp_bf16=tp_bf16,
+    )
+    cdt = jnp.bfloat16 if tp_bf16 else jnp.float32
+    h_scr = (
+        [pltpu.VMEM((S, Tpad, Hh), cdt),  # tp (halo-free)
+         pltpu.VMEM((S, PAD, Hh), cdt)]  # carry strip
+        if dw_p1
+        else [pltpu.VMEM((S, PAD + Tpad + PAD, Hh), jnp.float32)]
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # alphas
@@ -656,7 +807,7 @@ def fused_convtasnet_separator(
         scratch_shapes=[
             pltpu.VMEM((S, Tpad, Hh), jnp.bfloat16),  # enc
             pltpu.VMEM((S, Tpad, Cb), jnp.bfloat16),  # y
-            pltpu.VMEM((S, PAD + Tpad + PAD, Hh), jnp.float32),  # h
+        ] + h_scr + [
             pltpu.VMEM((S, Tpad, Cb), jnp.float32),  # p
             pltpu.VMEM((2, Cb, Hh), jnp.bfloat16),
             pltpu.VMEM((2, Hh, Cb), jnp.bfloat16),

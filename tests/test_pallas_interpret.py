@@ -101,6 +101,68 @@ def test_full_separator_interpret_parity(interpret_mode):
     assert float(rel.mean()) < 0.02, float(rel.mean())
 
 
+def test_full_separator_dwp1_multitile_interpret_parity(interpret_mode):
+    """Multi-tile coverage for the dw_p1 (taps-in-P1) layout: ≥3 T-tiles
+    exercise the peeled first tile (carry init), the fori-loop middle tile
+    (carry strip + fix RMW into the previous tile), and the masked last
+    tile.  Also pins dw_p1=True ≡ dw_p1=False (same math, different
+    schedule) at the kernel-output level."""
+    from audio_only_speech_separation_tpu.models import ConvTasNet
+    from audio_only_speech_separation_tpu.models.convtasnet import (
+        fused_inference_forward,
+    )
+    from audio_only_speech_separation_tpu.ops.conv import frame_signal
+    from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import (
+        fused_convtasnet_separator,
+        pack_convtasnet_full_params,
+    )
+
+    model = ConvTasNet(
+        N=512, L=16, B=128, H=512, P=3, X=2, R=1, num_spks=2,
+        sample_rate=8000,
+    )
+    # 20 000 samples @ stride 4 → ~5 000 frames → Tpad = 3 × TILE
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, 20000)).astype(np.float32)
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    packed = pack_convtasnet_full_params(params, 1, 2, 2)
+    ref = model.apply(params, x)
+    got = fused_inference_forward(model, params, x, packed=packed).astype(
+        jnp.float32
+    )
+    rel = jnp.abs(ref - got) / (jnp.abs(ref).mean() + 1e-8)
+    assert float(rel.max()) < 0.15, float(rel.max())
+    assert float(rel.mean()) < 0.02, float(rel.mean())
+
+    # two-layout agreement at the raw kernel output (decoder frames)
+    we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, dils = packed
+    xb = x.astype(jnp.bfloat16)
+    win, pad_stride, fb_stride = model.L, model.L // 2, model.L // 4
+    rest = win - (pad_stride + x.shape[1] % win) % win
+    if rest > 0:
+        xb = jnp.pad(xb, ((0, 0), (0, rest)))
+    xb = jnp.pad(xb, ((0, 0), (win - pad_stride, win - pad_stride)))
+    frames = frame_signal(xb, win, fb_stride)
+    assert frames.shape[1] > 4096, frames.shape  # ≥ 3 T-tiles
+    kw = dict(dilations=dils, nspk=2, sigmoid=False, prelu_max=True)
+    o_new = fused_convtasnet_separator(
+        frames, we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, dw_p1=True, **kw
+    ).astype(jnp.float32)
+    o_old = fused_convtasnet_separator(
+        frames, we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, dw_p1=False, **kw
+    ).astype(jnp.float32)
+    d = jnp.abs(o_new - o_old) / (jnp.abs(o_old).mean() + 1e-8)
+    assert float(d.max()) < 0.05, float(d.max())
+    # the bf16-chain knob (measured negative on v5e, kept for other gens)
+    o_bf = fused_convtasnet_separator(
+        frames, we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd,
+        dw_p1=True, tp_bf16=True, **kw
+    ).astype(jnp.float32)
+    db = jnp.abs(o_bf - o_old) / (jnp.abs(o_old).mean() + 1e-8)
+    assert float(db.mean()) < 0.02, float(db.mean())
+
+
 def test_full_separator_generalized_shape_interpret_parity(interpret_mode):
     # round-3 shape generalization: the kernel serves any lane-aligned
     # (N == H, C) — here N=H=256, C=256 (vs the headline's 512/128)
