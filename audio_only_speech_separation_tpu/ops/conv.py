@@ -157,6 +157,27 @@ class Conv1d(nn.Module):
                 self.use_bias,
                 name="Conv_0",
             )(x)
+        if (
+            self.groups == self.out_channels
+            and x.shape[1] == self.out_channels
+            and self.stride == 1
+        ):
+            # Depthwise stride-1 on [B, C, T]: k shifted per-channel
+            # multiplies along T.  XLA's grouped-conv lowering — and above
+            # all its BACKWARD (per-channel weight grads lower to giant
+            # reduce-windows) — is far off roofline on TPU; the pad/slice/
+            # multiply-add form has an equally cheap VJP (round-4 measured:
+            # ConvTasNet train step 86.0 → see docs/BENCHMARKS.md).  Param
+            # path/layout identical to the nn.Conv branch (child "Conv_0",
+            # kernel [k, 1, C]).
+            return _ShiftedDepthwiseCF(
+                self.out_channels,
+                self.kernel_size,
+                self.padding,
+                self.dilation,
+                self.use_bias,
+                name="Conv_0",
+            )(x)
         y = jnp.swapaxes(x, 1, 2)  # [B, T, C]
         y = nn.Conv(
             features=self.out_channels,
@@ -168,6 +189,37 @@ class Conv1d(nn.Module):
             use_bias=self.use_bias,
         )(y)
         return jnp.swapaxes(y, 1, 2)
+
+
+class _ShiftedDepthwiseCF(nn.Module):
+    """Depthwise stride-1 conv on [B, C, T] as k shifted multiplies.
+
+    Parameter-interchangeable with the nn.Conv lowering in Conv1d (kernel
+    [k, 1, C], bias [C], same default inits)."""
+
+    channels: int
+    kernel_size: int
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):  # [B, C, T] → [B, C, T_out]
+        B, C, T = x.shape
+        k, d, p = self.kernel_size, self.dilation, self.padding
+        w = self.param(
+            "kernel", nn.initializers.lecun_normal(), (k, 1, self.channels)
+        ).astype(x.dtype)
+        T_out = T + 2 * p - d * (k - 1)
+        xp = jnp.pad(x, ((0, 0), (0, 0), (p, p))) if p else x
+        y = None
+        for j in range(k):
+            yj = xp[:, :, j * d : j * d + T_out] * w[j, 0][None, :, None]
+            y = yj if y is None else y + yj
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.channels,))
+            y = y + b.astype(x.dtype)[None, :, None]
+        return y
 
 
 class _ShiftedConv(nn.Module):
