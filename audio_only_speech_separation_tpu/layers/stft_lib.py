@@ -184,29 +184,44 @@ def speed_perturb_filter(
     src_sr: int, dst_sr: int, cutoff_ratio: float = 0.95, num_zeros: int = 64
 ) -> np.ndarray:
     """Polyphase windowed-sinc resampler bank [dst_sr, src_sr, K] for
-    src_sr → dst_sr speed perturbation — reference stft.py:163-193 (the
-    vendored danpovey/filtering resampler weights)."""
+    src_sr → dst_sr speed perturbation.
+
+    Same filter the reference vendors from danpovey/filtering
+    (stft.py:163-193): a Hann-windowed sinc low-pass at ``cutoff_ratio``
+    of the narrower Nyquist, evaluated at every (output-phase,
+    input-phase) fractional lag.  Numerically identical weights
+    (tests/test_stft_lib.py::test_speed_perturb_matches_reference); the
+    construction below is organized around the lag grid instead of the
+    reference's flat index arithmetic.
+    """
     if src_sr == dst_sr:
-        raise ValueError(f"src_sr should not be equal to dst_sr: {src_sr}/{dst_sr}")
-    gcd = math.gcd(src_sr, dst_sr)
-    src_sr //= gcd
-    dst_sr //= gcd
-    if src_sr == 1 or dst_sr == 1:
-        raise ValueError("do not support integer downsample/upsample")
-    zeros_per_block = min(src_sr, dst_sr) * cutoff_ratio
-    padding = 1 + int(num_zeros / zeros_per_block)
-    # t[d, s, k]: time offset of output phase d vs input phase s at tap k
-    times = (
-        np.arange(dst_sr, dtype=np.float64)[:, None, None] / float(dst_sr)
-        - np.arange(src_sr, dtype=np.float64)[None, :, None] / float(src_sr)
-        - np.arange(2 * padding + 1, dtype=np.float64)[None, None, :]
-        + padding
+        raise ValueError(
+            f"speed perturbation needs two distinct rates; got {src_sr} -> {dst_sr}"
+        )
+    g = math.gcd(src_sr, dst_sr)
+    up, down = dst_sr // g, src_sr // g  # phases out / phases in
+    if up == 1 or down == 1:
+        raise ValueError(
+            "integer-ratio resampling is outside the perturbation bank's domain"
+        )
+    # passband half-width (in input-sample units) and one-sided tap reach
+    bw = cutoff_ratio * min(up, down)
+    reach = 1 + int(num_zeros / bw)
+    # lag[d, s] = position of output phase d/up relative to input phase
+    # s/down; each tap k then sits at t = lag + (reach − k)
+    lag = (
+        np.arange(up, dtype=np.float64)[:, None] / up
+        - np.arange(down, dtype=np.float64)[None, :] / down
     )
-    window = np.heaviside(1.0 - np.abs(times / padding), 0.0) * (
-        0.5 + 0.5 * np.cos(times / padding * math.pi)
+    t = lag[:, :, None] + (
+        reach - np.arange(2 * reach + 1, dtype=np.float64)[None, None, :]
     )
-    weight = np.sinc(times * zeros_per_block) * window * zeros_per_block / float(src_sr)
-    return weight.astype(np.float32)
+    # raised-cosine window, open support (zero at |t| == reach)
+    win = np.where(
+        np.abs(t) < reach, 0.5 * (1.0 + np.cos(np.pi * t / reach)), 0.0
+    )
+    w = np.sinc(t * bw) * win * (bw / down)
+    return w.astype(np.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -386,9 +386,13 @@ def _moments_tc(x):
 
 
 def _gln_affine(mu_c, q_c, norm_p, eps):
-    """gLN as a per-channel affine from per-channel moments: a, c [B, 1, C]."""
+    """gLN as a per-channel affine from per-channel moments: a, c [B, 1, C].
+
+    The E[x²] − μ² form can go slightly negative in f32 when μ² ≫ var
+    (the cancellation ops/norms.py::_moments avoids by shifting); clamp
+    before rsqrt so bf16 activations can't produce NaN."""
     mu = jnp.mean(mu_c, axis=-1)[:, None, None]  # [B,1,1]
-    var = jnp.mean(q_c, axis=-1)[:, None, None] - mu * mu
+    var = jnp.maximum(jnp.mean(q_c, axis=-1)[:, None, None] - mu * mu, 0.0)
     rstd = jax.lax.rsqrt(var + eps)
     a = _f32(norm_p["gamma"])[None, None, :] * rstd
     c = _f32(norm_p["beta"])[None, None, :] - mu * a
@@ -519,7 +523,9 @@ def _uconv_fast(u, xin, depth):
             jnp.square(a2) * qs[i] + 2.0 * a2 * c2 * mus[i] + jnp.square(c2)
         )
         muv = jnp.mean(mv, axis=-1)[:, None]
-        varv = jnp.mean(qv, axis=-1)[:, None] - jnp.square(muv)
+        varv = jnp.maximum(
+            jnp.mean(qv, axis=-1)[:, None] - jnp.square(muv), 0.0
+        )  # E[x²]−μ² cancellation guard (see _gln_affine)
         rstd = jax.lax.rsqrt(varv + eps)
         g_l = _f32(qf["local_embedding"]["norm"]["gamma"])[None, :]
         b_l = _f32(qf["local_embedding"]["norm"]["beta"])[None, :]

@@ -30,6 +30,37 @@ from audio_only_speech_separation_tpu.metrics import MetricsTracker
 from audio_only_speech_separation_tpu.utils import print_only
 
 
+def choose_dispatch(model, use_bf16: bool, backend: str | None = None) -> str:
+    """Single source of truth for the eval forward dispatch.
+
+    Returns one of:
+      - "fused":       ConvTasNet whole-separator Pallas kernel (bf16, TPU,
+                       standard shapes — the gate is
+                       models.convtasnet.fused_forward_eligible, NOT an
+                       inline copy of its conditions; e.g. a norm="cLN"
+                       non-causal model must never dispatch here)
+      - "fast_tdanet": TDANet analytic-moment inference forward (exact
+                       eval math, parity-pinned in tests/test_tdanet_fast.py;
+                       valid on any backend and in f32 or bf16)
+      - "apply":       plain model.apply
+    """
+    if use_bf16 and isinstance(model, models.ConvTasNet):
+        from audio_only_speech_separation_tpu.models.convtasnet import (
+            fused_forward_eligible,
+        )
+
+        if fused_forward_eligible(model, backend=backend):
+            return "fused"
+    if isinstance(model, models.TDANet):
+        from audio_only_speech_separation_tpu.models.tdanet import (
+            fast_forward_eligible,
+        )
+
+        if fast_forward_eligible(model):
+            return "fast_tdanet"
+    return "apply"
+
+
 def main(config, bucket_seconds: float = 1.0, batch_size: int = 1):
     exp_dir = config["main_args"]["exp_dir"]
     model_path = os.path.join(exp_dir, "best_model.pth")
@@ -62,7 +93,6 @@ def main(config, bucket_seconds: float = 1.0, batch_size: int = 1):
     # standard-shape ConvTasNet additionally dispatches to the fused
     # whole-separator Pallas kernel — the bench.py headline path, ~3.5×
     # over the f32 XLA eval the reference runs (audio_test.py:72-79 there).
-    packed = None
     use_bf16 = bool(config["main_args"].get("bf16"))
     if use_bf16 and jax.default_backend() != "tpu":
         # the CPU (test-mesh) backend has no bf16 dots — keep the flag a
@@ -74,31 +104,34 @@ def main(config, bucket_seconds: float = 1.0, batch_size: int = 1):
             lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
             params,
         )
-        if (
-            jax.default_backend() == "tpu"
-            and isinstance(model, models.ConvTasNet)
-            and model.N == 512 and model.B == 128 and model.H == 512
-            and model.P == 3 and not model.causal
-            and model.activate in ("relu", "sigmoid")
-        ):
-            from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import (
-                pack_convtasnet_full_params,
-            )
 
-            packed = pack_convtasnet_full_params(
-                params, model.R, model.X, model.num_spks
-            )
+    dispatch = choose_dispatch(model, use_bf16)
+    packed = None
+    if dispatch == "fused":
+        from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import (
+            pack_convtasnet_full_params,
+        )
+
+        packed = pack_convtasnet_full_params(
+            params, model.R, model.X, model.num_spks
+        )
 
     @jax.jit
     def forward(p, mix):
         if use_bf16:
             mix = mix.astype(jnp.bfloat16)
-        if packed is not None:
+        if dispatch == "fused":
             from audio_only_speech_separation_tpu.models.convtasnet import (
                 fused_inference_forward,
             )
 
             return fused_inference_forward(model, p, mix, packed=packed)
+        if dispatch == "fast_tdanet":
+            from audio_only_speech_separation_tpu.models.tdanet import (
+                fast_inference_forward,
+            )
+
+            return fast_inference_forward(model, p, mix)
         return model.apply(p, mix)
 
     # sort by length so same-bucket utterances batch together (fewer XLA

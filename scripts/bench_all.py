@@ -24,12 +24,16 @@ import audio_only_speech_separation_tpu.models as M
 from audio_only_speech_separation_tpu.utils.profiling import count_params, estimate_cost
 
 CASES = [
-    # (name, model ctor, sample_rate, batch[, fused])
-    ("ConvTasNet (lrs3) fused-Pallas", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 8, True),
+    # (name, model ctor, sample_rate, batch[, mode])
+    # mode: None = model.apply; "fused" = whole-separator Pallas kernel;
+    # "tdanet_fast" = analytic-moment inference forward — both are the
+    # paths audio_test.py dispatches to (audio_test.choose_dispatch)
+    ("ConvTasNet (lrs3) fused-Pallas", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 8, "fused"),
     ("ConvTasNet (lrs3)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 8),
     ("TasNet-DPRNN (wsj0)", lambda: M.TasNet(enc_dim=64, bn_dim=64, hidden_dim=128, win=16, layer=6, num_spk=2, module="DPRNN", block_size=100, sample_rate=8000), 8000, 8),
     ("TasNet-DPTNet (wsj0)", lambda: M.TasNet(enc_dim=64, bn_dim=64, hidden_dim=128, win=16, layer=6, num_spk=2, module="DPTNet", block_size=100, sample_rate=8000), 8000, 8),
     ("Sepformer (base)", lambda: M.Sepformer(sample_rate=16000), 16000, 2),
+    ("TDANet (lrs2) fast-analytic", lambda: M.TDANet(out_channels=128, in_channels=512, num_blocks=16, upsampling_depth=5, enc_kernel_size=4, num_sources=2, sample_rate=16000), 16000, 4, "tdanet_fast"),
     ("TDANet (lrs2)", lambda: M.TDANet(out_channels=128, in_channels=512, num_blocks=16, upsampling_depth=5, enc_kernel_size=4, num_sources=2, sample_rate=16000), 16000, 4),
     ("AFRCNN (lrs2)", lambda: M.AFRCNN(out_channels=512, in_channels=512, num_blocks=16, upsampling_depth=5, enc_kernel_size=1, num_sources=2, sample_rate=16000), 16000, 4),
     ("Sandglasset (defaults)", lambda: M.Sandglasset(sample_rate=8000), 8000, 8),
@@ -44,7 +48,7 @@ ITERS = 50  # amortize the ~30-70 ms axon tunnel scalar fetch below 2%
 V5E_BF16_PEAK = 197e12  # flop/s, one v5e chip
 
 
-def bench_one(name, ctor, sr, batch, fused=False):
+def bench_one(name, ctor, sr, batch, mode=None):
     model = ctor()
     T = int(SECONDS * sr)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(batch, T)).astype(np.float32))
@@ -60,10 +64,11 @@ def bench_one(name, ctor, sr, batch, fused=False):
             return p, x.astype(jnp.bfloat16)
         return params, x
 
-    # the fused-Pallas ConvTasNet headline (bench.py's path) is swept here
-    # too so the table is regenerated from ONE run
+    # the fused-Pallas ConvTasNet headline (bench.py's path) and the
+    # TDANet analytic fast path are swept here too so the table is
+    # regenerated from ONE run
     fused_packed = None
-    if fused:
+    if mode == "fused":
         from audio_only_speech_separation_tpu.models.convtasnet import (
             fused_inference_forward,
         )
@@ -72,10 +77,19 @@ def bench_one(name, ctor, sr, batch, fused=False):
         )
 
         fused_packed = pack_convtasnet_full_params(params, 3, 8, 3)
+    elif mode == "tdanet_fast":
+        from audio_only_speech_separation_tpu.models.tdanet import (
+            fast_forward_eligible,
+            fast_inference_forward,
+        )
+
+        assert fast_forward_eligible(model)
 
     def apply_fn(p, m):
         if fused_packed is not None:
             return fused_inference_forward(model, p, m, packed=fused_packed)
+        if mode == "tdanet_fast":
+            return fast_inference_forward(model, p, m)
         return model.apply(p, m)
 
     def run_fori(dtype):
@@ -96,7 +110,7 @@ def bench_one(name, ctor, sr, batch, fused=False):
 
     def run_chained(dtype):
         p, xx = cast(dtype)
-        fwd = jax.jit(lambda p, m: model.apply(p, m).sum().astype(jnp.float32))
+        fwd = jax.jit(lambda p, m: apply_fn(p, m).sum().astype(jnp.float32))
         xs = [(xx * (1.0 + 1e-6 * k)).astype(xx.dtype) for k in range(ITERS)]
         float(fwd(p, xs[0]))
         t0 = time.perf_counter()

@@ -42,6 +42,7 @@ def main():
 
         for label, fn in (
             ("fast", lambda p_, m_: fast_inference_forward(model, p_, m_)),
+            ("apply", lambda p_, m_: model.apply(p_, m_)),
         ):
             @jax.jit
             def loop(p_, mix):

@@ -96,6 +96,63 @@ class TestResidentGate:
         assert not resident_eligible(100, 328, 64, 96, 2, jnp.bfloat16, backend="tpu")
 
 
+class TestEvalDispatchGate:
+    """audio_test.py's forward dispatch must flow through the single
+    source of truth (models.convtasnet.fused_forward_eligible /
+    models.tdanet.fast_forward_eligible), never an inline copy of the
+    conditions — round-4 regression: a hand-copied gate omitted the
+    norm == "gLN" check and sent a cLN non-causal ConvTasNet to the gLN
+    fused kernel (silently wrong waveforms)."""
+
+    @staticmethod
+    def _choose(model, use_bf16, backend):
+        import os
+        import sys
+
+        root = os.path.join(os.path.dirname(__file__), "..")
+        if root not in sys.path:
+            sys.path.insert(0, root)
+        import audio_test
+
+        return audio_test.choose_dispatch(model, use_bf16, backend=backend)
+
+    def test_cln_noncausal_never_fused(self):
+        import audio_only_speech_separation_tpu.models as M
+
+        # valid per the ctor: blocks become causal-cLN internally but the
+        # kernel computes global-LN stats — must fall back to apply
+        model = M.ConvTasNet(
+            N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3,
+            norm="cLN", causal=False,
+        )
+        assert self._choose(model, True, "tpu") == "apply"
+
+    def test_standard_gln_fused_on_tpu_only(self):
+        import audio_only_speech_separation_tpu.models as M
+
+        model = M.ConvTasNet(
+            N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3,
+        )
+        assert self._choose(model, True, "tpu") == "fused"
+        assert self._choose(model, True, "cpu") == "apply"
+        assert self._choose(model, False, "tpu") == "apply"  # f32 eval
+
+    def test_tdanet_fast_path_dispatch(self):
+        import audio_only_speech_separation_tpu.models as M
+
+        model = M.TDANet(
+            out_channels=128, in_channels=512, num_blocks=16,
+            upsampling_depth=5, enc_kernel_size=4, num_sources=2,
+        )
+        assert self._choose(model, False, "cpu") == "fast_tdanet"
+        folded = M.TDANet(
+            out_channels=128, in_channels=512, num_blocks=16,
+            upsampling_depth=5, enc_kernel_size=4, num_sources=2,
+            unfold=False,
+        )
+        assert self._choose(folded, False, "cpu") == "apply"
+
+
 class TestValidationFreshness:
     """bench.py refuses its headline unless PALLAS_VALIDATION.json passed on
     the current kernel sources (hash binding, round-2 verdict weak #4)."""

@@ -21,7 +21,10 @@ from audio_only_speech_separation_tpu.models.tdanet import (
 
 @pytest.mark.parametrize(
     "depth,n_blocks,T",
-    [(4, 2, 8000), (5, 2, 8000), (5, 1, 6399)],
+    # depth 2 exercises the fused[-1] negative-index quirk branch of the
+    # top-down chain; depth 3 the smallest regular pyramid — every depth
+    # fast_forward_eligible admits is pinned here
+    [(2, 2, 4000), (3, 2, 4000), (4, 2, 8000), (5, 2, 8000), (5, 1, 6399)],
 )
 def test_fast_forward_matches_apply(depth, n_blocks, T):
     model = M.TDANet(
@@ -44,6 +47,34 @@ def test_fast_forward_matches_apply(depth, n_blocks, T):
     np.testing.assert_allclose(
         np.asarray(fast), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+def test_fast_forward_bf16_close_to_f32():
+    """The benchmark runs the fast path in bf16, where the E[x²]−μ²
+    cancellation is most dangerous (ADVICE r4): check the bf16 fast
+    forward is finite and SI-SNR-close to the f32 apply reference."""
+    model = M.TDANet(
+        out_channels=16, in_channels=32, num_blocks=2, upsampling_depth=4,
+        enc_kernel_size=4, num_sources=2, sample_rate=16000,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(2).normal(size=(2, 6000)).astype(np.float32)
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+    ref = np.asarray(model.apply(params, x))
+    p16 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        params,
+    )
+    fast = np.asarray(
+        fast_inference_forward(model, p16, x.astype(jnp.bfloat16))
+    ).astype(np.float32)
+    assert np.all(np.isfinite(fast))
+    err = ref - fast
+    snr = 10.0 * np.log10(
+        (ref**2).sum() / np.maximum((err**2).sum(), 1e-20)
+    )
+    assert snr > 20.0, f"bf16 fast path degraded: {snr:.1f} dB vs f32 apply"
 
 
 def test_fast_forward_one_d_and_fallback():
