@@ -18,7 +18,14 @@ import jax.numpy as jnp
 
 from ..ops.activations import PReLU
 from ..ops.attention import MultiheadAttention, sinusoidal_positions
-from ..ops.conv import ConvEncoder, PointwiseConv, frame_signal, overlap_add
+from ..ops.conv import (
+    ConvEncoder,
+    PointwiseConv,
+    frame_axis1,
+    frame_signal,
+    overlap_add,
+    overlap_add_axis1,
+)
 from ..ops.norms import GlobalLayerNorm
 from ..ops.resample import _linear_interp_matrix
 from ..ops.rnn import BiLSTM, _DenseParams
@@ -115,8 +122,20 @@ class SandglassetBlock(nn.Module):
             return x + up, h  # skip_out stays [B, S, K, D]
 
         Q = (K - kernel) // kernel + 1
-        g4 = x[:, :, : Q * kernel, :].reshape(B, S, Q, kernel, D).mean(3)
-        g = jnp.transpose(g4, (0, 2, 1, 3)).reshape(B * Q, S, D)  # [B·Q, S, D]
+        # pooling + the [B,S,Q,D]→[B,Q,S,D] layout change as ONE einsum
+        # against a static averaging matrix — the slice/reshape/mean/
+        # transpose chain this replaces materialized the 67 MB block
+        # tensor twice per pooled block (the "8 × 0.42 ms layout copies"
+        # in the round-4 roofline, docs/BENCHMARKS.md Sandglasset)
+        import numpy as _np
+
+        pm = _np.zeros((K, Q), _np.float32)
+        for qi in range(Q):
+            pm[qi * kernel : (qi + 1) * kernel, qi] = 1.0 / kernel
+        g = jnp.einsum(
+            "bskd,kq->bqsd", x, jnp.asarray(pm, x.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype).reshape(B * Q, S, D)  # [B·Q, S, D]
         if skip_connect is not None:
             g = g + skip_connect
         h = nn.LayerNorm(epsilon=1e-5, name="attn_in_norm")(g)
@@ -179,13 +198,27 @@ class Sandglasset(BaseModel):
             sig = jnp.pad(sig, ((0, 0), (0, rest)))
         sig = jnp.pad(sig, ((0, 0), (hop, hop)))
 
+        # Channels-last front end ([B, I, C] throughout — identical param
+        # tree): chunking is then frame_axis1 slices instead of the 67 MB
+        # [B, D, I] → [B, S, K, D] unfold transpose (round-5 perf item)
         mixture_w = nn.relu(
-            ConvEncoder(self.n_feats, win, hop, use_bias=False, name="encoder")(sig)
-        )
-        mixture_w = GlobalLayerNorm(self.n_feats, eps=1e-8, name="enc_LN")(mixture_w)
-        out = PointwiseConv(self.bn_chan, use_bias=False, name="bottleneck")(mixture_w)
-        I = out.shape[-1]
-        chunks, ori_len = unfold_chunks(out, self.chunk_size)  # [B, S, K, D]
+            ConvEncoder(
+                self.n_feats, win, hop, use_bias=False, channels_last=True,
+                name="encoder",
+            )(sig)
+        )  # [B, I, N]
+        mixture_w = GlobalLayerNorm(
+            self.n_feats, eps=1e-8, channels_last=True, name="enc_LN"
+        )(mixture_w)
+        out = PointwiseConv(
+            self.bn_chan, use_bias=False, channels_last=True, name="bottleneck"
+        )(mixture_w)  # [B, I, D]
+        I = out.shape[1]
+        ori_len = I
+        K = self.chunk_size
+        chunks = frame_axis1(
+            jnp.pad(out, ((0, 0), (K, K), (0, 0))), K, K // 2
+        )  # [B, S, K, D]
         chunks = GlobalLayerNorm(
             self.bn_chan, eps=1e-8, channels_last=True, name="seg_norm"
         )(nn.relu(chunks))
@@ -221,20 +254,23 @@ class Sandglasset(BaseModel):
         )
         x = jnp.einsum("bskn,nm->bskm", x, w) + b[None, None, None, :]
         x = jax.nn.softplus(x)  # [B, S, K, n_src·n_feats]
-        S, K = x.shape[1], x.shape[2]
-        est = fold_chunks(x, ori_len).reshape(
-            B * self.n_src, self.n_feats, ori_len
+        # channels-last fold: overlap-add over the chunk axis with the
+        # feature axis trailing (no [B,S,K,M]→[B·M,S,K] transpose)
+        sig_cl = overlap_add_axis1(x, K // 2)[:, K : K + ori_len] / 2.0
+        est = sig_cl.reshape(B, ori_len, self.n_src, self.n_feats)
+        est = jnp.swapaxes(est, 1, 2).reshape(
+            B * self.n_src, ori_len, self.n_feats
         )
-        est = GlobalLayerNorm(self.n_feats, eps=1e-8, name="out_norm")(
-            nn.relu(est)
-        ).reshape(B, self.n_src, self.n_feats, I)
+        est = GlobalLayerNorm(
+            self.n_feats, eps=1e-8, channels_last=True, name="out_norm"
+        )(nn.relu(est)).reshape(B, self.n_src, I, self.n_feats)
 
-        masked = est * mixture_w[:, None]  # [B, C, N, I]
+        masked = est * mixture_w[:, None]  # [B, C, I, N]
         # decoder: Linear(n_feats → kernel) + overlap-add (sandglasset.py:209-259)
         dw = self.param(
             "decoder_kernel", nn.initializers.lecun_normal(), (self.n_feats, win)
         )
-        frames = jnp.einsum("bcni,nw->bciw", masked, dw)  # [B, C, I, win]
+        frames = jnp.einsum("bcin,nw->bciw", masked, dw)  # [B, C, I, win]
         Bc = B * self.n_src
         sigs = overlap_add(frames.reshape(Bc, I, win), hop).reshape(B, self.n_src, -1)
         sigs = sigs[:, :, hop : sigs.shape[-1] - (rest + hop)]

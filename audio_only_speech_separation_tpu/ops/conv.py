@@ -62,6 +62,46 @@ def overlap_add(frames: jnp.ndarray, stride: int) -> jnp.ndarray:
     return out.at[:, idx].add(frames)
 
 
+def frame_axis1(x: jnp.ndarray, win: int, stride: int) -> jnp.ndarray:
+    """x: [B, T, D] → frames [B, n, win, D] over axis 1 (channels trail).
+
+    Same reshape/concat lowering as ``frame_signal`` when
+    ``win % stride == 0`` — no relayout of the D axis, which is the point:
+    chunking a channels-last feature tensor costs slices, not a transpose.
+    """
+    B, T, D = x.shape
+    n = (T - win) // stride + 1
+    if win % stride == 0:
+        r = win // stride
+        usable = (n - 1 + r) * stride
+        chunks = x[:, :usable].reshape(B, -1, stride, D)
+        parts = [chunks[:, j : j + n] for j in range(r)]
+        return jnp.concatenate(parts, axis=2)
+    idx = jnp.arange(n)[:, None] * stride + jnp.arange(win)[None, :]
+    return x[:, idx]
+
+
+def overlap_add_axis1(frames: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """frames: [B, n, win, D] → [B, (n-1)*stride + win, D] overlap-add
+    over axis 1 (the channels-last dual of ``overlap_add``, same padded-
+    slice lowering)."""
+    B, n, win, D = frames.shape
+    T = (n - 1) * stride + win
+    if win % stride == 0:
+        r = win // stride
+        chunks = frames.reshape(B, n, r, stride, D)
+        out = None
+        for j in range(r):
+            cj = jnp.pad(
+                chunks[:, :, j], ((0, 0), (j, r - 1 - j), (0, 0), (0, 0))
+            )
+            out = cj if out is None else out + cj
+        return out.reshape(B, -1, D)[:, :T]
+    out = jnp.zeros((B, T, D), frames.dtype)
+    idx = jnp.arange(n)[:, None] * stride + jnp.arange(win)[None, :]
+    return out.at[:, idx].add(frames)
+
+
 class ConvEncoder(nn.Module):
     """Learned analysis filterbank: [B, T] → [B, N, n_frames].
 
@@ -73,6 +113,7 @@ class ConvEncoder(nn.Module):
     win: int
     stride: int
     use_bias: bool = False
+    channels_last: bool = False  # True: return [B, n, N] (no final swap)
 
     @nn.compact
     def __call__(self, x):  # [B, T]
@@ -89,6 +130,8 @@ class ConvEncoder(nn.Module):
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             y = y + b
+        if self.channels_last:
+            return y  # [B, n, N]
         return jnp.swapaxes(y, 1, 2)  # [B, N, n]
 
 
@@ -102,16 +145,18 @@ class ConvDecoder(nn.Module):
     in_channels: int
     win: int
     stride: int
+    channels_last: bool = False  # True: input is [B, n, N]
 
     @nn.compact
-    def __call__(self, x):  # [B, N, n]
+    def __call__(self, x):  # [B, N, n] ([B, n, N] when channels_last)
         w = self.param(
             "kernel",
             nn.initializers.xavier_uniform(),
             (self.in_channels, self.win),
         )
+        eq = "bnc,cw->bnw" if self.channels_last else "bcn,cw->bnw"
         frames = jnp.einsum(
-            "bcn,cw->bnw", x, w.astype(x.dtype), preferred_element_type=jnp.float32
+            eq, x, w.astype(x.dtype), preferred_element_type=jnp.float32
         ).astype(x.dtype)  # [B, n, win]
         return overlap_add(frames, self.stride)
 

@@ -108,6 +108,7 @@ def _kernel(
     streams: int = 1,  # samples co-resident per program (see below)
     dw_p1: bool = False,  # compute raw depthwise taps in P1 (see below)
     tp_bf16: bool = False,  # bf16 elementwise chain (requires dw_p1)
+    sum_dot: bool = False,  # Σt rides a widened P2 dot (see below)
 ):
     # ``dw_p1`` (round 4, MEASURED NEGATIVE — kept as a re-measurement
     # knob): the depthwise conv is LINEAR, so the gLN-1 affine fold
@@ -133,6 +134,19 @@ def _kernel(
     # VPU has no native bf16 arithmetic win for this pattern — every bf16
     # op pays converts, roughly DOUBLING the chain.  Consistent with the
     # round-3 "p2-in-bf16" negative (5.78 ms).
+    # ``sum_dot`` (round 5): obtain the gLN-2 Σv statistic from P2's
+    # EXISTING pending matmul instead of a VPU tree reduction, by widening
+    # the weight operand from [H, C] to [H, C+128] with a single ones
+    # column at lane C (pack side: ``widen_wsgs_for_sum_dot``) — output
+    # lane C is then the per-row sum Σ_c v_tc, and Σv collapses to a
+    # [TILE, 128] quarter-size reduce over the extra lane block (zeros
+    # except lane C).  Differs from the measured-negative ``mxu_stats``
+    # exactly where that experiment said the cost was: no SECOND dot is
+    # issued — the widened dot is the same instruction, 2× the N tiles.
+    # Σv² still needs the square + reduce on the VPU (v² is not an MXU
+    # operand of any existing dot).  Stats precision: Σv is computed from
+    # the bf16-rounded tb instead of f32 t (same class of rounding the
+    # mxu_stats validation bounded at rstd error ~1e-5).
     # ``streams`` > 1 processes that many SAMPLES inside one grid step, with
     # every per-tile op emitted for all streams in the same loop body.  The
     # streams share weights and have no data dependencies, so Mosaic's
@@ -216,6 +230,9 @@ def _kernel(
     assert not (tp_bf16 and not dw_p1), "tp_bf16 requires dw_p1"
     assert not (tp_bf16 and (ablate or mxu_stats)), (
         "ablation/probe tokens are f32-path diagnostics"
+    )
+    assert not (sum_dot and (ablate or mxu_stats or tp_bf16)), (
+        "sum_dot composes only with the production f32 chain"
     )
     cdt = jnp.bfloat16 if tp_bf16 else jnp.float32  # elementwise-chain dtype
 
@@ -301,13 +318,18 @@ def _kernel(
                 )
                 etb = et.astype(jnp.bfloat16)
                 enc_ref[s, sl, :] = etb
-                p_ref[s, sl, :] = jax.lax.dot_general(
+                r0 = jax.lax.dot_general(
                     etb, wsg_buf[0],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
                 etf = etb.astype(jnp.float32)
-                acc[s] = acc[s] + jnp.sum(etf)
+                if sum_dot:
+                    p_ref[s, sl, :] = r0[:, :C]
+                    acc[s] = acc[s] + jnp.sum(r0[:, C:])
+                else:
+                    p_ref[s, sl, :] = r0
+                    acc[s] = acc[s] + jnp.sum(etf)
                 acc[S + s] = acc[S + s] + jnp.sum(etf * etf)
             return tuple(acc)
 
@@ -548,11 +570,17 @@ def _kernel(
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                p_ref[s, pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :] = r
+                p_ref[s, pl.ds(pl.multiple_of(i * TILE, TILE), TILE), :] = (
+                    r[:, :C] if sum_dot else r
+                )
             if "p2stats" in ablate:
                 return jnp.float32(0.0), jnp.float32(0.0)
             if "p2" in mxu_stats:
                 return _mxu_sums(tb, (t * t).astype(jnp.bfloat16))
+            if sum_dot:
+                # Σv from the widened dot's extra lane block (zeros except
+                # lane C); Σv² stays a VPU square + reduce
+                return jnp.sum(r[:, C:]), jnp.sum(t * t, dtype=jnp.float32)
             return (
                 jnp.sum(t, dtype=jnp.float32),
                 jnp.sum(t * t, dtype=jnp.float32),
@@ -649,6 +677,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "dilations", "T_valid", "mxu_stats", "streams", "dw_p1", "tp_bf16",
+        "sum_dot",
     ),
 )
 def fused_tcn_separator(
@@ -664,11 +693,12 @@ def fused_tcn_separator(
     streams: int = 1,
     dw_p1: bool = False,
     tp_bf16: bool = False,
+    sum_dot: bool = False,  # wsgs must be widened (widen_wsgs_for_sum_dot)
 ):
     B, T, Cb = x.shape
     _, Cw, Hh = w1s.shape
     assert Cb == Cw and Cb % 128 == 0 and Hh % 128 == 0, "lane-aligned only"
-    assert wsgs.shape[1:] == (Hh, Cb)
+    assert wsgs.shape[1:] == (Hh, Cb + (128 if sum_dot else 0))
     assert B % streams == 0, "batch must tile into stream groups"
     T_valid = T if T_valid is None else T_valid
     Tpad = -(-T // TILE) * TILE
@@ -679,7 +709,7 @@ def fused_tcn_separator(
     kernel = functools.partial(
         _kernel, dilations=tuple(dilations), T=T_valid, Tpad=Tpad,
         mxu_stats=tuple(mxu_stats), H=Hh, C=Cb, streams=S, dw_p1=dw_p1,
-        tp_bf16=tp_bf16,
+        tp_bf16=tp_bf16, sum_dot=sum_dot,
     )
     cdt = jnp.bfloat16 if tp_bf16 else jnp.float32
     h_scr = (
@@ -704,7 +734,9 @@ def fused_tcn_separator(
         scratch_shapes=h_scr + [
             pltpu.VMEM((S, Tpad, Cb), jnp.float32),
             pltpu.VMEM((2, Cb, Hh), jnp.bfloat16),
-            pltpu.VMEM((2, Hh, Cb), jnp.bfloat16),
+            pltpu.VMEM(
+                (2, Hh, Cb + (128 if sum_dot else 0)), jnp.bfloat16
+            ),
             pltpu.VMEM((2, 8, Hh), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
@@ -726,7 +758,7 @@ def fused_tcn_separator(
     jax.jit,
     static_argnames=(
         "dilations", "nspk", "sigmoid", "T_valid", "prelu_max", "mxu_stats",
-        "ablate", "streams", "dw_p1", "tp_bf16",
+        "ablate", "streams", "dw_p1", "tp_bf16", "sum_dot",
     ),
 )
 def fused_convtasnet_separator(
@@ -750,6 +782,7 @@ def fused_convtasnet_separator(
     streams: int = 1,
     dw_p1: bool = False,
     tp_bf16: bool = False,
+    sum_dot: bool = False,  # wsgs must be widened (widen_wsgs_for_sum_dot)
 ):
     """Whole-separator fused forward: encoder matmul → bottleneck gLN+1×1 →
     R×X TCN blocks → mask head → mask×enc → decoder frames, ONE kernel.
@@ -763,7 +796,8 @@ def fused_convtasnet_separator(
 
     Returns [B, nspk, T', win] bf16 frames for ``overlap_add``."""
     B, T, W = frames.shape
-    _, Hh, Cb = wsgs.shape
+    _, Hh, Cw = wsgs.shape
+    Cb = Cw - 128 if sum_dot else Cw
     assert Hh % 128 == 0 and Cb % 128 == 0, "lane-aligned only (N == H)"
     assert we.shape == (W, Hh) and w1s.shape[1:] == (Cb, Hh)
     assert B % streams == 0, "batch must tile into stream groups"
@@ -777,7 +811,7 @@ def fused_convtasnet_separator(
         _kernel, dilations=tuple(dilations), T=T_valid, Tpad=Tpad,
         nspk=nspk, sigmoid=sigmoid, prelu_max=prelu_max,
         mxu_stats=tuple(mxu_stats), ablate=tuple(ablate), H=Hh, C=Cb,
-        streams=S, dw_p1=dw_p1, tp_bf16=tp_bf16,
+        streams=S, dw_p1=dw_p1, tp_bf16=tp_bf16, sum_dot=sum_dot,
     )
     cdt = jnp.bfloat16 if tp_bf16 else jnp.float32
     h_scr = (
@@ -810,7 +844,7 @@ def fused_convtasnet_separator(
         ] + h_scr + [
             pltpu.VMEM((S, Tpad, Cb), jnp.float32),  # p
             pltpu.VMEM((2, Cb, Hh), jnp.bfloat16),
-            pltpu.VMEM((2, Hh, Cb), jnp.bfloat16),
+            pltpu.VMEM((2, Hh, Cw), jnp.bfloat16),
             pltpu.VMEM((2, 8, Hh), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
         ],
@@ -824,6 +858,17 @@ def fused_convtasnet_separator(
         ),
     )(alphas, frames.astype(jnp.bfloat16), we, w1s, wsgs, vecs, cs, wm, bm, wd)
     return out[:, :, :T, :]
+
+
+def widen_wsgs_for_sum_dot(wsgs: jnp.ndarray) -> jnp.ndarray:
+    """Append the ``sum_dot`` ones-column block to packed wsgs
+    [nb, H, C] → [nb, H, C+128]: lane C is all-ones (the Σv rowsum
+    column), lanes C+1.. are zeros so the quarter-size reduce over the
+    extra block equals Σv exactly."""
+    nb, H, _ = wsgs.shape
+    extra = jnp.zeros((nb, H, 128), wsgs.dtype)
+    extra = extra.at[:, :, 0].set(jnp.ones((nb, H), wsgs.dtype))
+    return jnp.concatenate([wsgs, extra], axis=2)
 
 
 def fused_vmem_bytes(Tpad: int, H: int, C: int, nspk: int, W: int, S: int) -> int:

@@ -21,10 +21,17 @@ import sys
 
 
 def wav_len(path: str) -> int:
-    import soundfile as sf
+    # the package's layered wav IO (soundfile → stdlib wave → scipy →
+    # native reader) — soundfile alone is not guaranteed in deployment
+    try:
+        from audio_only_speech_separation_tpu.data.audio_io import wav_frames
 
-    with sf.SoundFile(path) as f:
-        return len(f)
+        return wav_frames(path)
+    except ImportError:
+        import soundfile as sf
+
+        with sf.SoundFile(path) as f:
+            return len(f)
 
 
 def preprocess_one_dir(in_data_dir: str, out_dir: str, data_type: str, cond: str):

@@ -25,6 +25,10 @@ CASES = [
     ("ConvTasNet (lrs3, b8x2s)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 8, 3, "float32"),
     ("ConvTasNet (lrs3, b8x2s, bf16)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 8, 3, "bfloat16"),
     ("ConvTasNet (lrs3, b8x2s, bf16+fusedfwd)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 8, 3, "bfloat16+fused"),
+    # channels-last training layout (round-5 verdict #5): identical param
+    # tree, [B, T, C] execution end to end
+    ("ConvTasNet (lrs3, b8x2s, bf16+CL)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000, channels_last=True), 16000, 8, 3, "bfloat16"),
+    ("ConvTasNet (lrs3, b8x2s, f32+CL)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000, channels_last=True), 16000, 8, 3, "float32"),
     ("TasNet-DPRNN (wsj0, b8x4s)", lambda: M.TasNet(enc_dim=64, bn_dim=64, hidden_dim=128, win=16, layer=6, num_spk=2, module="DPRNN", block_size=100, sample_rate=8000), 8000, 8, 2, "float32"),
     ("TasNet-DPRNN (wsj0, b8x4s, bf16)", lambda: M.TasNet(enc_dim=64, bn_dim=64, hidden_dim=128, win=16, layer=6, num_spk=2, module="DPRNN", block_size=100, sample_rate=8000), 8000, 8, 2, "bfloat16"),
     ("BSRNN (wsj0, b8x4s, bf16)", lambda: M.BSRNN(win=256, stride=64, feature_dim=128, num_spks=2, num_repeat=8, sample_rate=8000), 8000, 8, 2, "bfloat16"),

@@ -111,3 +111,40 @@ def test_adaptive_pool_reshape_fast_path():
     # non-integer ratio falls back to the pooling-matrix path
     y = adaptive_avg_pool1d(x, 7)
     assert y.shape == (2, 8, 7)
+
+
+def test_convtasnet_channels_last_forward_and_grad_parity():
+    """The channels-last ConvTasNet (round-5 training-layout experiment)
+    shares the exact param tree with the channels-first model and must
+    match its forward AND its parameter gradients (the training surface)."""
+    from audio_only_speech_separation_tpu.models import ConvTasNet
+
+    kw = dict(N=32, L=16, B=32, H=32, P=3, X=2, R=1, num_spks=2,
+              sample_rate=8000)
+    cf = ConvTasNet(**kw)
+    cl = ConvTasNet(channels_last=True, **kw)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 3210)).astype(np.float32))
+    p = cf.init(jax.random.PRNGKey(0), x)
+    p_cl = cl.init(jax.random.PRNGKey(0), x)
+    assert _tree_shapes(p) == _tree_shapes(p_cl)
+
+    ref = cf.apply(p, x)
+    got = cl.apply(p, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    tgt = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+
+    def loss(model):
+        def f(pp):
+            return jnp.mean((model.apply(pp, x) - tgt) ** 2)
+        return f
+
+    g_ref = jax.grad(loss(cf))(p)
+    g_cl = jax.grad(loss(cl))(p)
+    ref_leaves = jax.tree_util.tree_leaves(g_ref)
+    cl_leaves = jax.tree_util.tree_leaves(g_cl)
+    for a, b in zip(ref_leaves, cl_leaves):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6
+        )

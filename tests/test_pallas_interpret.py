@@ -236,6 +236,58 @@ def test_full_separator_streams_interpret_parity(interpret_mode):
     np.testing.assert_array_equal(ref, got)
 
 
+def test_full_separator_sum_dot_interpret_parity(interpret_mode):
+    """sum_dot: Σv from the widened P2 dot's ones column (round-5 stats
+    experiment).  Only the gLN-2 mean's summation differs from baseline —
+    bf16-rounded rowsums instead of an f32 tree reduce — so outputs must
+    agree to well under the kernel's own bf16 output tolerance."""
+    from audio_only_speech_separation_tpu.models import ConvTasNet
+    from audio_only_speech_separation_tpu.ops.conv import frame_signal
+    from audio_only_speech_separation_tpu.ops.pallas.convtasnet_block import (
+        fused_convtasnet_separator,
+        pack_convtasnet_full_params,
+        widen_wsgs_for_sum_dot,
+    )
+
+    model = ConvTasNet(
+        N=512, L=16, B=128, H=512, P=3, X=2, R=1, num_spks=2,
+        sample_rate=8000,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 4000)).astype(np.float32)
+    )
+    params = jax.jit(model.init)(jax.random.PRNGKey(3), x)
+    we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, dils = (
+        pack_convtasnet_full_params(params, 1, 2, 2)
+    )
+    win, pad_stride, fb_stride = model.L, model.L // 2, model.L // 4
+    xb = x.astype(jnp.bfloat16)
+    rest = win - (pad_stride + x.shape[1] % win) % win
+    if rest > 0:
+        xb = jnp.pad(xb, ((0, 0), (0, rest)))
+    xb = jnp.pad(xb, ((0, 0), (win - pad_stride, win - pad_stride)))
+    frames = frame_signal(xb, win, fb_stride)
+
+    kw = dict(dilations=dils, nspk=2, sigmoid=False, prelu_max=True)
+    base = np.asarray(
+        fused_convtasnet_separator(
+            frames, we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, **kw
+        ).astype(jnp.float32)
+    )
+    wide = np.asarray(
+        fused_convtasnet_separator(
+            frames, we, w1s, widen_wsgs_for_sum_dot(wsgs), vecs, cs,
+            alphas, wm, bm, wd, sum_dot=True, **kw
+        ).astype(jnp.float32)
+    )
+    d = np.abs(wide - base) / (np.abs(base).mean() + 1e-8)
+    # outputs are bf16: a single ULP flip on a large element shows up as a
+    # few % of mean |base| (same 0.05 bound the dw_p1 two-layout agreement
+    # uses); the mean bound is what pins the stats path
+    assert float(d.max()) < 0.05, float(d.max())
+    assert float(d.mean()) < 0.005, float(d.mean())
+
+
 def test_tcn_kernel_interpret_parity(interpret_mode):
     # the TCN-only kernel vs the f32 XLA Conv1DBlock stack
     from audio_only_speech_separation_tpu.models.convtasnet import Conv1DBlock
