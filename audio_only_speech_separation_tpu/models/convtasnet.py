@@ -203,7 +203,9 @@ class ConvTasNet(BaseModel):
         return restore_output(out, was_one_d)
 
 
-def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
+def fused_inference_forward(
+    model: ConvTasNet, params, wav, packed=None, sum_dot: bool = False
+):
     """bf16 inference forward: the WHOLE separator — encoder matmul,
     bottleneck gLN+1×1, the R×X Conv1DBlock body, mask head, mask×enc, and
     the decoder synthesis matmul — runs in ONE Pallas kernel (see
@@ -225,9 +227,12 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
         return model.apply(params, wav)
     if packed is None:
         packed = pack_convtasnet_full_params(
-            params, model.R, model.X, model.num_spks
+            params, model.R, model.X, model.num_spks, sum_dot=sum_dot
         )
     we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, dils = packed
+    # infer the pack's layout so a pre-widened ``packed`` works regardless
+    # of the flag the caller passed
+    sum_dot = wsgs.shape[2] == w1s.shape[1] + 128
 
     from ..ops.conv import frame_signal, overlap_add
 
@@ -252,6 +257,7 @@ def fused_inference_forward(model: ConvTasNet, params, wav, packed=None):
         frames, we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd,
         dilations=dils, nspk=model.num_spks,
         sigmoid=model.activate == "sigmoid", prelu_max=prelu_max,
+        sum_dot=sum_dot,
     )  # [B, spk, T', win]
     s = overlap_add(
         dec_frames.reshape(Bsz * model.num_spks, times, win), fb_stride

@@ -886,11 +886,15 @@ def fused_vmem_bytes(Tpad: int, H: int, C: int, nspk: int, W: int, S: int) -> in
     return S * per_stream + weights
 
 
-def pack_convtasnet_full_params(params, R: int, X: int, num_spks: int):
+def pack_convtasnet_full_params(
+    params, R: int, X: int, num_spks: int, sum_dot: bool = False
+):
     """Pack the WHOLE ConvTasNet param tree (encoder, bottleneck, tcn_{r}_{i}
     blocks, mask head, decoder) for ``fused_convtasnet_separator``.  The
     bottleneck gLN+1×1 is folded into pseudo-block 0 of the wsgs/cs arrays
-    (same delayed-norm identity as the block sconvs), in f64, once."""
+    (same delayed-norm identity as the block sconvs), in f64, once.
+    ``sum_dot=True`` widens wsgs with the ones column the kernel's
+    ``sum_dot`` mode consumes."""
     p = params["params"] if "params" in params else params
     w1s, wsgs, vecs, cs, alphas, dils = pack_convtasnet_tcn_params(params, R, X)
 
@@ -919,6 +923,8 @@ def pack_convtasnet_full_params(params, R: int, X: int, num_spks: int):
     )
     wd = jnp.asarray(np.asarray(p["decoder"]["kernel"]), jnp.bfloat16)
     assert wm.shape == (C, num_spks * N), wm.shape
+    if sum_dot:
+        wsgs = widen_wsgs_for_sum_dot(wsgs)
     return we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, dils
 
 

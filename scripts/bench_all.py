@@ -157,9 +157,17 @@ def bench_one(name, ctor, sr, batch, mode=None):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default=None)
+    parser.add_argument("--only", default=None,
+                        help="substring filter on case names (no --out "
+                        "table rewrite with a partial sweep)")
     args = parser.parse_args()
+    if args.only and args.out:
+        parser.error("--only benches a subset; regenerating --out from a "
+                     "subset would drop the other rows")
     rows = []
     for case in CASES:
+        if args.only and args.only.lower() not in case[0].lower():
+            continue
         try:
             rows.append(bench_one(*case))
         except Exception as e:  # keep sweeping even if one model fails

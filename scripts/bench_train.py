@@ -92,7 +92,15 @@ def bench_train(name, ctor, sr, batch, n_src, precision):
 
 
 if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None,
+                    help="substring filter on case names")
+    a = ap.parse_args()
     for case in CASES:
+        if a.only and a.only.lower() not in case[0].lower():
+            continue
         try:
             bench_train(*case)
         except Exception as e:

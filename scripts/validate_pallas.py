@@ -147,6 +147,33 @@ def validate_full_separator():
         }
         ok = ok and case["fused_vs_f32_max"] <= 1.5 * case["bf16_xla_vs_f32_max"] + 1e-3
         cases.append(case)
+        if nspk == 3:
+            # sum_dot mode (round 5): Σv from the widened pending dot —
+            # same tolerance contract as the base kernel
+            packed_w = pack_convtasnet_full_params(
+                params, 1, 4, nspk, sum_dot=True
+            )
+            got_w = np.asarray(
+                jax.jit(
+                    lambda p, m: fused_inference_forward(
+                        model, p, m, packed=packed_w
+                    )
+                )(params, x.astype(jnp.bfloat16)).astype(jnp.float32)
+            )
+            case_w = {
+                "num_spks": nspk,
+                "activate": act,
+                "T": T,
+                "variant": "sum_dot",
+                "fused_vs_f32_max": float(np.abs(got_w - ref).max()),
+                "bf16_xla_vs_f32_max": case["bf16_xla_vs_f32_max"],
+                "out_scale": case["out_scale"],
+            }
+            ok = ok and (
+                case_w["fused_vs_f32_max"]
+                <= 1.5 * case_w["bf16_xla_vs_f32_max"] + 1e-3
+            )
+            cases.append(case_w)
     return {"cases": cases, "ok": bool(ok)}
 
 

@@ -80,6 +80,36 @@ class TestFraming:
         np.testing.assert_allclose(interior, r * np.asarray(x)[0, win : 160 - win], rtol=1e-5)
 
 
+class TestFramingAxis1:
+    """Channels-last duals of frame_signal/overlap_add (Sandglasset CL
+    chunking, round 5): must equal the 2-D forms applied per channel."""
+
+    @pytest.mark.parametrize("win,stride", [(16, 8), (250, 125), (7, 3)])
+    def test_frame_axis1_matches_frame_signal(self, win, stride):
+        from audio_only_speech_separation_tpu.ops.conv import frame_axis1
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(size=(2, 400, 5)).astype(np.float32)
+        got = np.asarray(frame_axis1(jnp.asarray(x), win, stride))
+        for d in range(5):
+            want = np.asarray(frame_signal(jnp.asarray(x[:, :, d]), win, stride))
+            np.testing.assert_allclose(got[:, :, :, d], want, rtol=1e-6)
+
+    @pytest.mark.parametrize("win,stride", [(16, 8), (250, 125), (7, 3)])
+    def test_overlap_add_axis1_matches_overlap_add(self, win, stride):
+        from audio_only_speech_separation_tpu.ops.conv import overlap_add_axis1
+
+        rng = np.random.default_rng(5)
+        n = 9
+        frames = rng.normal(size=(2, n, win, 3)).astype(np.float32)
+        got = np.asarray(overlap_add_axis1(jnp.asarray(frames), stride))
+        for d in range(3):
+            want = np.asarray(
+                overlap_add(jnp.asarray(frames[:, :, :, d]), stride)
+            )
+            np.testing.assert_allclose(got[:, :, d], want, rtol=1e-5, atol=1e-6)
+
+
 class TestFilterbank:
     def test_encoder_decoder_shapes(self):
         enc = ConvEncoder(out_channels=64, win=16, stride=8)
