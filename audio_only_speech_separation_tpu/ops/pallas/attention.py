@@ -8,15 +8,17 @@ f32 through HBM (for Sepformer-base ≈ 128 MB per layer, ~2/3 of the layer's
 wall time); this kernel keeps q/k/v AND the logits resident in VMEM per
 grid step, so HBM sees only q, k, v once in and the context once out.
 
-Layout: [BH, dh, T_pad] — the SEQUENCE lives in the lane dimension (T_pad a
-multiple of 128) and the head dim in sublanes, so no tile is lane-padded
-(dh is typically 32–64, far below the 128-lane width; a [T, dh] layout
-wastes 4× VMEM and VPU throughput on padding).  Callers fold the layout
-change into the qkv/out projection einsums, so no explicit transpose is
-materialized.  Each grid step processes a VMEM-budgeted group of heads with
-batched dot_general (MXU).  Padded key columns are masked with a large
-negative logit before the f32 softmax; padded query rows produce uniform
-attention and are sliced off by the caller.
+Layout: [BH, dh, T] — the SEQUENCE lives in the lane dimension and the head
+dim in sublanes, so no tile is lane-padded by dh (dh is typically 32–64,
+far below the 128-lane width; a [T, dh] layout wastes 4× VMEM and VPU
+throughput on padding).  Callers fold the layout change into the qkv/out
+projection einsums, so no explicit transpose is materialized.  T is passed
+UNPADDED: Mosaic masks the partial trailing lane tile in every load, dot,
+reduction, and store, which both removes the explicit −1e9 key masking and
+— the round-5 win — deletes the three [BH, dh, T_pad] HBM pad
+materializations (~0.4 ms each at Sandglasset's BH=16k) the padded
+formulation required.  Each grid step processes a VMEM-budgeted group of
+heads with batched dot_general (MXU).
 
 Numerical contract: identical math to the einsum path in
 ops/attention.MultiheadAttention (f32 logits & softmax, value dtype out),
@@ -36,37 +38,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 HEADS_PER_BLOCK = 32
 MAX_T_PAD = 1024  # logits [G, T_pad, T_pad] f32 must fit comfortably in VMEM
-_NEG = -1e9
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, T: int, Tq: int, scale: float):
-    # Tq = round_up(T, 8) ≤ Tp: the query axis is SUBLANES in the logits, so
-    # slicing q to the valid rows (sublane granularity 8) before the dot
-    # shrinks the f32 logits buffer and — the dominant VPU cost — the
-    # softmax by Tq/Tp (47 % at Sandglasset's S=131→256 lane padding).
-    # Key lanes can't be cut the same way (128-lane vreg granularity), so
-    # padded keys are still masked below.  o lanes ≥ Tq are never written —
-    # the caller slices to :T.
-    q = q_ref[:, :, :Tq]  # [G, dh, Tq]
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    # Blocks arrive UNPADDED ([G, dh, T] with T not necessarily a lane
+    # multiple): Mosaic masks the partial trailing tile in every load,
+    # dot, reduction, and store, so no explicit key masking or query-row
+    # slicing is needed — the logits [G, T, T] only ever contain valid
+    # rows/columns at the jnp level.  (The previous formulation padded
+    # q/k/v to Tp = round_up(T, 128) in HBM and masked padded key lanes
+    # with −1e9; the three [BH, dh, Tp] pad materializations cost
+    # ~0.4 ms each at Sandglasset's BH=16k, S=131→256 — measured 4.75 →
+    # 3.68 ms/call by deleting them, round 5.)
+    q = q_ref[:]
     k = k_ref[:]
     v = v_ref[:]
-    Tp = k.shape[-1]
     logits = jax.lax.dot_general(
         q,
         k,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),  # contract dh
         preferred_element_type=jnp.float32,
-    ) * scale  # [G, Tq(q), Tp(k)] f32
-    if T < Tp:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 2)
-        logits = jnp.where(col < T, logits, _NEG)
+    ) * scale  # [G, T(q), T(k)] f32
     attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    o_ref[:, :, :Tq] = jax.lax.dot_general(
+    o_ref[:] = jax.lax.dot_general(
         v,
         attn,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),  # contract Tp(k)
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),  # contract T(k)
         preferred_element_type=jnp.float32,
-    ).astype(v.dtype)  # [G, dh, Tq(q)]
+    ).astype(v.dtype)  # [G, dh, T(q)]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -84,26 +83,23 @@ def _einsum_attention_bdt(q, k, v):
 def _pallas_attention_bdt(q, k, v):
     BH, dh, T = q.shape
     scale = 1.0 / float(np.sqrt(dh))
+    # VMEM budget against the PHYSICAL (tile-padded) logits buffer — f32
+    # [G, round_up(T, 8), round_up(T, 128)] — cap ~8 MB (more heads per
+    # program amortizes the ~µs per-program overhead, which dominates at
+    # huge head counts like Sandglasset's BH=16k, dh=16)
     Tp = _round_up(T, 128)
-    Tq = min(_round_up(T, 8), Tp)  # valid query rows, f32 sublane granular
-    # VMEM budget: the f32 [G, Tq, Tp] logits are the big buffer — cap ~8 MB
-    # (more heads per program amortizes the ~µs per-program overhead, which
-    # dominates at huge head counts like Sandglasset's BH=16k, dh=16)
+    Tq = min(_round_up(T, 8), Tp)
     G = max(1, min(HEADS_PER_BLOCK, (8 << 20) // (Tq * Tp * 4)))
     while BH % G:
         G -= 1
-    if T < Tp:
-        pad = ((0, 0), (0, 0), (0, Tp - T))
-        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
-    spec = pl.BlockSpec((G, dh, Tp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        functools.partial(_kernel, T=T, Tq=Tq, scale=scale),
+    spec = pl.BlockSpec((G, dh, T), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
         grid=(BH // G,),
         in_specs=[spec, spec, spec],
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((BH, dh, Tp), v.dtype),
+        out_shape=jax.ShapeDtypeStruct((BH, dh, T), v.dtype),
     )(q, k, v)
-    return out[:, :, :T] if T < Tp else out
 
 
 @jax.custom_vjp

@@ -309,14 +309,16 @@ def _pallas_resident_bilstm(x, w_ih, w_hh, bias):
     D, H4 = w_hh.shape[0], w_hh.shape[2]
     H = H4 // 4
     BT = _res_batch_tile(T, B, Din, H, D)
-    Bp = _round_up(B, BT)
-    if Bp != B:
-        x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
+    # B need not be a multiple of BT: Mosaic masks the partial trailing
+    # block (reads give unspecified rows, writes of those rows are
+    # discarded), and LSTM rows are batch-independent, so no padding is
+    # required.  The explicit pad+slice this replaces cost ~0.84 ms per
+    # call at Sandglasset's B=2072 (pad to 2080 + out slice), ×6 blocks.
     if bias is None:
         bias = jnp.zeros((D, H4), jnp.float32)
     out = pl.pallas_call(
         functools.partial(_res_kernel, T=T, H=H, D=D),
-        grid=(Bp // BT,),
+        grid=(-(-B // BT),),
         in_specs=[
             pl.BlockSpec((BT, T, Din), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -326,7 +328,7 @@ def _pallas_resident_bilstm(x, w_ih, w_hh, bias):
         out_specs=pl.BlockSpec(
             (T, D, BT, H), lambda b: (0, 0, b, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((T, D, Bp, H), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((T, D, B, H), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((D, BT, H), jnp.bfloat16),
             pltpu.VMEM((D, BT, H), jnp.bfloat16),
@@ -339,7 +341,7 @@ def _pallas_resident_bilstm(x, w_ih, w_hh, bias):
         w_hh.astype(jnp.bfloat16),
         bias.astype(jnp.float32),
     )
-    return out[:, :, :B] if Bp != B else out
+    return out
 
 
 def _xla_resident_ref(x, w_ih, w_hh, bias):

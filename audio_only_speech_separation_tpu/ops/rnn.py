@@ -127,7 +127,18 @@ def bilstm_scan(
     if resident_eligible(T, B, D, H, 2, x.dtype):
         # whole-sequence VMEM-resident kernel: consumes x batch-major as-is
         # (no transpose/pad copies); both directions come back time-aligned
-        hs = resident_bilstm(x, w_ih, w_hh, bias)
+        hs = resident_bilstm(x, w_ih, w_hh, bias)  # [T, 2, B, H]
+        if proj_w is not None:
+            # contract the direction axis INSIDE the projection einsum —
+            # act(hs) @ [2, H, P] sums fwd/bwd contributions in the matmul,
+            # so the two [T, B, H] direction slices (a ~0.3 ms copy each at
+            # Sandglasset shapes) never materialize
+            h2 = proj_act(hs) if proj_act is not None else hs
+            pw = proj_w.astype(hs.dtype).reshape(2, H, -1)
+            out = jnp.einsum(
+                "tkbh,khp->btp", h2, pw, preferred_element_type=jnp.float32
+            ).astype(hs.dtype)
+            return out + proj_b.astype(out.dtype) if proj_b is not None else out
         return finish(hs[:, 0], hs[:, 1])
     # Stack forward and time-reversed copies on a direction axis; the einsum
     # emits xw TIME-major directly ("tkbg"), so no [T,2,B,4H]-sized moveaxis
