@@ -301,6 +301,153 @@ def fused_forward_eligible(model: ConvTasNet, backend: str | None = None) -> boo
     return backend == "tpu" and _fused_shape_ok(model)
 
 
+def make_delayed_train_apply(model: ConvTasNet):
+    """Training forward in the fused kernel's ALGEBRA, but as pure
+    differentiable XLA ops — the round-5 answer to the training-step
+    VPU-chain attribution (docs/BENCHMARKS.md, training section).
+
+    The flax forward materializes two normalized [B, T', H] tensors per
+    Conv1DBlock (norm1(h) feeding the depthwise, norm2(v) feeding the
+    1×1), each a statistics pass + an affine pass over the widest tensor
+    in the model.  This formulation applies the two delayed-norm
+    identities the Pallas kernel uses (ops/pallas/convtasnet_block.py):
+
+      * gLN-1 folds into the depthwise taps:  dw(norm1 h) =
+        Σₖ(dwₖ·sc1)⊙h±d + (Σₖdwₖ)·sh1 + dwb  (+ edge corrections, since
+        the reference zero-pads AFTER normalization) — norm1(h) is never
+        materialized;
+      * gLN-2 commutes with the following 1×1:  norm2(v)@Ws =
+        rstd₂·(v@(γ₂⊙Ws)) + (β₂@Ws + bs − μ₂·rstd₂·γ₂@Ws) — the affine
+        runs on the C-wide (4× narrower) matmul OUTPUT.
+
+    Both identities are exact; because this is plain XLA, ``jax.grad``
+    differentiates it directly — the savings apply to the backward pass
+    too, which is where the training step spends most of its time.
+    Weight folds run traced per step (pack_convtasnet_full_params_jnp);
+    gradients flow THROUGH the folds to the original param tree, so the
+    optimizer state and checkpoints are unchanged.
+
+    bf16 activations / f32 statistics, matching the bf16 training path.
+    Returns None for configs the packer doesn't serve (causal/cLN or
+    kernel_size ≠ 3).  Reference math: look2hear/models/convtasnet.py:28-116.
+    """
+    if model.causal or model.norm != "gLN" or model.P != 3:
+        return None
+
+    from ..ops.conv import frame_signal, overlap_add
+    from ..ops.pallas.convtasnet_block import pack_convtasnet_full_params_jnp
+
+    f32 = jnp.float32
+    eps = 1e-8
+    nspk = model.num_spks
+    # the CPU dot backend rejects bf16×bf16→f32; upcast operands there
+    # (tests run this path on CPU; TPU keeps bf16 MXU inputs)
+    _cpu = jax.default_backend() == "cpu"
+
+    def _dot(eq, a, b):
+        if _cpu:
+            a, b = a.astype(f32), b.astype(f32)
+        return jnp.einsum(eq, a, b, preferred_element_type=f32)
+
+    def _prelu(x, a):
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
+
+    def _stats(x):
+        """Global-LN mean/rstd over (time, channel) per sample, f32."""
+        xf = x.astype(f32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True) - mean * mean
+        return mean, jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+
+    def apply_fn(params, wav):
+        packed = pack_convtasnet_full_params_jnp(
+            params, model.R, model.X, nspk
+        )
+        we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, dils = packed
+        x, was_one_d = normalize_input(wav)
+        x = x.astype(jnp.bfloat16)
+        win, pad_stride = model.L, model.L // 2
+        fb_stride = model.L // 4
+        Bsz, T = x.shape
+        rest = win - (pad_stride + T % win) % win
+        if rest > 0:
+            x = jnp.pad(x, ((0, 0), (0, rest)))
+        x = jnp.pad(x, ((0, 0), (win - pad_stride, win - pad_stride)))
+        frames = frame_signal(x, win, fb_stride)  # [B, T', win]
+        times = frames.shape[1]
+
+        enc = _dot("btw,wh->bth", frames, we).astype(jnp.bfloat16)
+
+        # bottleneck gLN + 1×1 as pseudo-block 0 (delayed-norm form)
+        mean, rstd = _stats(enc)
+        p0 = _dot("bth,hc->btc", enc, wsgs[0])
+        y = rstd * p0 + (cs[0, 0] - mean * rstd * cs[0, 1])  # [B, T', C] f32
+
+        for bi, d in enumerate(dils):
+            b = bi + 1
+            yb = y.astype(jnp.bfloat16)
+            z = _dot("btc,ch->bth", yb, w1s[b]) + vecs[b, 0][None, None, :]
+            h = _prelu(z, alphas[b, 0]).astype(jnp.bfloat16)
+            mean1, rstd1 = _stats(h)
+            # folded tap coefficients are [B, 1, H] vector math in f32,
+            # then cast once — the [B, T', H] tap chain itself runs in
+            # bf16 (XLA-land is HBM-bound, unlike the in-kernel VPU chain
+            # where bf16 was the measured-negative tp_bf16)
+            sc1 = vecs[b, 2][None, None, :] * rstd1  # [B, 1, H] f32
+            sh1 = vecs[b, 3][None, None, :] - mean1 * sc1
+            dw0, dw1v, dw2 = vecs[b, 4], vecs[b, 5], vecs[b, 6]
+            c0 = (dw0[None, None, :] * sc1).astype(jnp.bfloat16)
+            c1 = (dw1v[None, None, :] * sc1).astype(jnp.bfloat16)
+            c2 = (dw2[None, None, :] * sc1).astype(jnp.bfloat16)
+            cb = (
+                vecs[b, 1][None, None, :]
+                + (dw0 + dw1v + dw2)[None, None, :] * sh1
+            ).astype(jnp.bfloat16)
+            down = jnp.pad(h, ((0, 0), (d, 0), (0, 0)))[:, :times]  # h[t−d]
+            up = jnp.pad(h, ((0, 0), (0, d), (0, 0)))[:, d:]  # h[t+d]
+            t = down * c0 + h * c1 + up * c2 + cb
+            # reference zero-pads AFTER normalization: out-of-range taps
+            # contribute 0, not sh1 — strip the folded sh1 term at the
+            # edges.  Masked subtracts, NOT .at[].add: a dynamic-update-
+            # slice here materializes the full [B, T', H] tensor twice per
+            # block (and its VJP again in the backward); the row-mask
+            # select fuses into the tap chain.
+            row = jnp.arange(times)[None, :, None]
+            zb = jnp.zeros((), jnp.bfloat16)
+            t = t - jnp.where(
+                row < d, (dw0[None, None, :] * sh1).astype(jnp.bfloat16), zb
+            )
+            t = t - jnp.where(
+                row >= times - d,
+                (dw2[None, None, :] * sh1).astype(jnp.bfloat16),
+                zb,
+            )
+            v = _prelu(t, alphas[b, 1])
+            mean2, rstd2 = _stats(v)
+            p = _dot("bth,hc->btc", v, wsgs[b])
+            y = y + rstd2 * p + (cs[b, 0] - mean2 * rstd2 * cs[b, 1])
+
+        m = _dot("btc,cn->btn", y.astype(jnp.bfloat16), wm) + bm[0][None, None, :]
+        if model.activate == "relu":
+            m = jnp.maximum(m, 0.0)
+        elif model.activate == "sigmoid":
+            m = jax.nn.sigmoid(m)
+        else:  # softmax — match the channels-last flax path (axis=-1)
+            m = jax.nn.softmax(m, axis=-1)
+        dsrc = (
+            m.astype(jnp.bfloat16).reshape(Bsz, times, nspk, model.N)
+            * enc[:, :, None, :]
+        )
+        dsrc = jnp.swapaxes(dsrc, 1, 2).reshape(Bsz * nspk, times, model.N)
+        dec = _dot("btn,nw->btw", dsrc, wd).astype(jnp.bfloat16)
+        s = overlap_add(dec, fb_stride)
+        s = s[:, win - pad_stride : s.shape[-1] - (rest + win - pad_stride)]
+        out = s.reshape(Bsz, nspk, -1)
+        return restore_output(out, was_one_d)
+
+    return apply_fn
+
+
 def make_fused_train_apply(model: ConvTasNet):
     """Training forward through the fused separator kernel.
 

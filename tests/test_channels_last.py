@@ -148,3 +148,74 @@ def test_convtasnet_channels_last_forward_and_grad_parity():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-6
         )
+
+
+def test_convtasnet_delayed_train_forward_and_grad():
+    """make_delayed_train_apply (round 5): the fused kernel's delayed-norm
+    algebra as plain differentiable XLA ops.  Its activations are
+    bf16-rounded (that's the training path it serves), so the contract is
+    SI-SNR-level agreement with the flax forward run on bf16-rounded
+    weights, plus gradient direction agreement per parameter."""
+    from audio_only_speech_separation_tpu.models import ConvTasNet
+    from audio_only_speech_separation_tpu.models.convtasnet import (
+        make_delayed_train_apply,
+    )
+
+    kw = dict(N=64, L=16, B=128, H=64, P=3, X=3, R=2, num_spks=2,
+              sample_rate=8000)
+    model = ConvTasNet(**kw)
+    fn = make_delayed_train_apply(model)
+    assert fn is not None
+    # causal / cLN / P≠3 configs are refused, not silently wrong
+    assert make_delayed_train_apply(ConvTasNet(norm="cLN", causal=True)) is None
+    assert make_delayed_train_apply(ConvTasNet(P=5)) is None
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 3210)).astype(np.float32))
+    p = model.init(jax.random.PRNGKey(0), x)
+    pb = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, p
+    )
+    # flax reference on bf16-ROUNDED f32 weights (the CPU backend cannot
+    # run the flax bf16 path itself)
+    p_r = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16).astype(jnp.float32)
+        if a.dtype == jnp.float32 else a, p
+    )
+    ref = np.asarray(model.apply(p_r, x), np.float32)
+    got = np.asarray(fn(pb, x.astype(jnp.bfloat16)), np.float32)
+    assert got.shape == ref.shape
+
+    def sisnr(a, b):
+        a = a - a.mean(-1, keepdims=True)
+        b = b - b.mean(-1, keepdims=True)
+        proj = (a * b).sum(-1, keepdims=True) / (b * b).sum(-1, keepdims=True) * b
+        return 10 * np.log10(
+            (proj**2).sum(-1) / (((a - proj) ** 2).sum(-1) + 1e-12)
+        )
+
+    assert sisnr(got, ref).min() > 30.0, sisnr(got, ref).min()
+
+    tgt = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+
+    def l_ref(pp):
+        return jnp.mean((model.apply(pp, x) - tgt) ** 2)
+
+    def l_new(pp):
+        return jnp.mean((fn(pp, x.astype(jnp.bfloat16)).astype(jnp.float32) - tgt) ** 2)
+
+    g_ref = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32),
+                               jax.grad(l_ref)(p_r))
+    )
+    g_new = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32),
+                               jax.grad(l_new)(pb))
+    )
+    for a, b in zip(g_ref, g_new):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        assert np.isfinite(b).all()
+        if na < 1e-9:
+            continue
+        cos = float((a * b).sum() / (na * nb + 1e-12))
+        assert cos > 0.97, cos
