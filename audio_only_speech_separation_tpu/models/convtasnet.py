@@ -448,6 +448,91 @@ def make_delayed_train_apply(model: ConvTasNet):
     return apply_fn
 
 
+def make_kernel_train_apply(model: ConvTasNet):
+    """Training forward+backward through the fused Pallas kernels.
+
+    The TCN chain — where the round-5 training trace puts ~80 % of the
+    step (docs/BENCHMARKS.md, training section) — runs as a custom-VJP
+    pair: the whole-chain fused forward (`fused_tcn_separator`, with
+    per-block residual snapshots + gLN stats saved) and the fused
+    REVERSE-walk backward (`ops/pallas/convtasnet_backward.py`).  The
+    encoder/bottleneck/mask/decoder stay plain XLA einsums (cheap, and
+    their autodiff is already matmul-shaped).  Gradients flow through
+    the traced weight packing to the original flax param tree, so
+    optimizer/checkpoint state is unchanged.
+
+    Returns None for configs outside the fused kernel's envelope.
+    Reference hot loop: look2hear/system/audio_litmodule.py:73-88.
+    """
+    if not fused_forward_eligible(model):
+        return None
+
+    from ..ops.conv import frame_signal, overlap_add
+    from ..ops.pallas.convtasnet_backward import make_tcn_chain
+    from ..ops.pallas.convtasnet_block import pack_convtasnet_full_params_jnp
+
+    f32 = jnp.float32
+    eps = 1e-8
+    nspk = model.num_spks
+    dils = tuple(2**i for i in range(model.X)) * model.R
+    chain = make_tcn_chain(dils)
+
+    def apply_fn(params, wav):
+        packed = pack_convtasnet_full_params_jnp(
+            params, model.R, model.X, nspk
+        )
+        we, w1s, wsgs, vecs, cs, alphas, wm, bm, wd, _ = packed
+        x, was_one_d = normalize_input(wav)
+        x = x.astype(jnp.bfloat16)
+        win, pad_stride = model.L, model.L // 2
+        fb_stride = model.L // 4
+        Bsz, T = x.shape
+        rest = win - (pad_stride + T % win) % win
+        if rest > 0:
+            x = jnp.pad(x, ((0, 0), (0, rest)))
+        x = jnp.pad(x, ((0, 0), (win - pad_stride, win - pad_stride)))
+        frames = frame_signal(x, win, fb_stride)  # [B, T', win]
+        times = frames.shape[1]
+
+        enc = jnp.einsum(
+            "btw,wh->bth", frames, we, preferred_element_type=f32
+        ).astype(jnp.bfloat16)
+
+        # bottleneck gLN + 1×1 (delayed form, plain XLA — differentiable)
+        ef = enc.astype(f32)
+        mean = jnp.mean(ef, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(ef), axis=(1, 2), keepdims=True) - mean * mean
+        rstd = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+        p0 = jnp.einsum("bth,hc->btc", enc, wsgs[0], preferred_element_type=f32)
+        y0 = (rstd * p0 + (cs[0, 0] - mean * rstd * cs[0, 1])).astype(
+            jnp.bfloat16
+        )
+
+        y = chain(y0, w1s[1:], wsgs[1:], vecs[1:], cs[1:], alphas[1:])
+
+        m = jnp.einsum(
+            "btc,cn->btn", y, wm, preferred_element_type=f32
+        ) + bm[0][None, None, :]
+        if model.activate == "relu":
+            m = jnp.maximum(m, 0.0)
+        else:  # sigmoid (the only other fused-eligible activation)
+            m = jax.nn.sigmoid(m)
+        dsrc = (
+            m.astype(jnp.bfloat16).reshape(Bsz, times, nspk, model.N)
+            * enc[:, :, None, :]
+        )
+        dsrc = jnp.swapaxes(dsrc, 1, 2).reshape(Bsz * nspk, times, model.N)
+        dec = jnp.einsum(
+            "btn,nw->btw", dsrc, wd, preferred_element_type=f32
+        ).astype(jnp.bfloat16)
+        s = overlap_add(dec, fb_stride)
+        s = s[:, win - pad_stride : s.shape[-1] - (rest + win - pad_stride)]
+        out = s.reshape(Bsz, nspk, -1)
+        return restore_output(out, was_one_d)
+
+    return apply_fn
+
+
 def make_fused_train_apply(model: ConvTasNet):
     """Training forward through the fused separator kernel.
 

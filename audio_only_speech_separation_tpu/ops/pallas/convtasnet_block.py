@@ -109,7 +109,15 @@ def _kernel(
     dw_p1: bool = False,  # compute raw depthwise taps in P1 (see below)
     tp_bf16: bool = False,  # bf16 elementwise chain (requires dw_p1)
     sum_dot: bool = False,  # Σt rides a widened P2 dot (see below)
+    save_state: bool = False,  # emit y_hist + per-block gLN stats (see below)
 ):
+    # ``save_state`` (round 5, TCN-only mode): after each block's P1 the
+    # y accumulator holds that block's INPUT y_b — DMA it to the y_hist
+    # HBM output (the copy hides under P2, which never touches y) and
+    # record the block's (μ1, r1, μ2, r2) into an SMEM stats output.
+    # This is the forward side of the fused training backward
+    # (ops/pallas/convtasnet_backward.py): the backward kernel recomputes
+    # h/u/v per block from y_b instead of storing the wide activations.
     # ``dw_p1`` (round 4, MEASURED NEGATIVE — kept as a re-measurement
     # knob): the depthwise conv is LINEAR, so the gLN-1 affine fold
     # commutes with it —
@@ -215,7 +223,11 @@ def _kernel(
              wd_ref, o_ref, enc_ref, y_scr, h_ref, p_ref, w1_buf, wsg_buf,
              vec_buf, sem) = refs
     else:
-        if dw_p1:
+        if save_state:
+            (x_ref, w1_hbm, wsg_hbm, vec_hbm, c_ref, y_ref, yh_hbm,
+             stats_ref, h_ref, p_ref, w1_buf, wsg_buf, vec_buf, sem,
+             sem_yh) = refs
+        elif dw_p1:
             (x_ref, w1_hbm, wsg_hbm, vec_hbm, c_ref, y_ref, h_ref, cst_ref,
              p_ref, w1_buf, wsg_buf, vec_buf, sem) = refs
         else:
@@ -234,6 +246,15 @@ def _kernel(
     assert not (sum_dot and (ablate or mxu_stats or tp_bf16)), (
         "sum_dot composes only with the production f32 chain"
     )
+    assert not (
+        save_state
+        and (full or dw_p1 or tp_bf16 or sum_dot or ablate or mxu_stats or S > 1)
+    ), "save_state serves the plain TCN-only training forward"
+    yh_pending: list = []
+
+    def _wait_yh():
+        if save_state and yh_pending:
+            yh_pending.pop().wait()
     cdt = jnp.bfloat16 if tp_bf16 else jnp.float32  # elementwise-chain dtype
 
     # Mosaic cannot relayout an i1 mask born from an i32 iota ((8, 128)
@@ -463,6 +484,8 @@ def _kernel(
 
         # tile 0 is peeled (no fix window exists below it); the last tile is
         # peeled for the ≥T row mask; middle tiles run in a fori_loop
+        if b > 0:
+            _wait_yh()  # y_{b-1}'s history copy must land before P1 rewrites y
         acc1 = (jnp.float32(0.0),) * (2 * S)
         if n_tiles == 1:
             acc1 = list(p1_body(0, acc1, masked=True))
@@ -474,6 +497,13 @@ def _kernel(
                     lambda i, c: p1_body(i, c, fix=dw_p1), acc1,
                 )
             acc1 = list(p1_body(n_tiles - 1, acc1, masked=True, fix=dw_p1))
+        if save_state:
+            # y now holds this block's INPUT y_b; the copy overlaps P2
+            cp = pltpu.make_async_copy(
+                y_ref.at[0], yh_hbm.at[pl.program_id(0), bi], sem_yh
+            )
+            cp.start()
+            yh_pending.append(cp)
         # per-stream gLN-1 folds into the depthwise taps:
         # norm1(h) = h·sc1 + sh1;  dw(norm1 h) = Σₖ(dwₖ·sc1)⊙h_±d + (Σₖdwₖ)·sh1 + dwb
         # (dw_p1: the taps are already combined on raw h, so only the affine
@@ -488,6 +518,9 @@ def _kernel(
                 rstd1 = jax.lax.rsqrt(
                     acc1[S + s] * inv_count - mean1 * mean1 + eps
                 )
+            if save_state:
+                stats_ref[s, bi, 0] = mean1
+                stats_ref[s, bi, 1] = rstd1
             sc1 = vec_ref[_G1, :] * rstd1  # [512]
             sh1 = vec_ref[_BT1, :] - mean1 * sc1
             if dw_p1:
@@ -619,6 +652,9 @@ def _kernel(
                 rstd2_prev[s] = jax.lax.rsqrt(
                     acc2[S + s] * inv_count - mean2 * mean2 + eps
                 )
+            if save_state:
+                stats_ref[s, bi, 2] = mean2
+                stats_ref[s, bi, 3] = rstd2_prev[s]
             shift_prev[s] = c_ref[b, 0, :] - mean2 * rstd2_prev[s] * c_ref[b, 1, :]
 
     if full:
@@ -655,6 +691,8 @@ def _kernel(
         jax.lax.fori_loop(0, n_tiles, epi_tile_full, 0)
     else:
         # ---- epilogue: apply the last block's pending update ---------------
+        _wait_yh()  # the last y_hist copy must land before y is overwritten
+
         def epi_tile(i, masked: bool):
             sl = pl.ds(pl.multiple_of(i * TILE, TILE), TILE)
             for s in SS:
@@ -677,7 +715,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "dilations", "T_valid", "mxu_stats", "streams", "dw_p1", "tp_bf16",
-        "sum_dot",
+        "sum_dot", "save_state",
     ),
 )
 def fused_tcn_separator(
@@ -694,9 +732,11 @@ def fused_tcn_separator(
     dw_p1: bool = False,
     tp_bf16: bool = False,
     sum_dot: bool = False,  # wsgs must be widened (widen_wsgs_for_sum_dot)
+    save_state: bool = False,  # also return (y_hist, stats) for the backward
 ):
     B, T, Cb = x.shape
     _, Cw, Hh = w1s.shape
+    nb = w1s.shape[0]
     assert Cb == Cw and Cb % 128 == 0 and Hh % 128 == 0, "lane-aligned only"
     assert wsgs.shape[1:] == (Hh, Cb + (128 if sum_dot else 0))
     assert B % streams == 0, "batch must tile into stream groups"
@@ -709,7 +749,7 @@ def fused_tcn_separator(
     kernel = functools.partial(
         _kernel, dilations=tuple(dilations), T=T_valid, Tpad=Tpad,
         mxu_stats=tuple(mxu_stats), H=Hh, C=Cb, streams=S, dw_p1=dw_p1,
-        tp_bf16=tp_bf16, sum_dot=sum_dot,
+        tp_bf16=tp_bf16, sum_dot=sum_dot, save_state=save_state,
     )
     cdt = jnp.bfloat16 if tp_bf16 else jnp.float32
     h_scr = (
@@ -718,6 +758,25 @@ def fused_tcn_separator(
         if dw_p1
         else [pltpu.VMEM((S, PAD + Tpad + PAD, Hh), jnp.float32)]
     )
+    out_specs = pl.BlockSpec(
+        (S, Tpad, Cb), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((B, Tpad, Cb), jnp.bfloat16)
+    extra_scr = []
+    if save_state:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec(memory_space=pltpu.ANY),  # y_hist (DMA'd per block)
+            pl.BlockSpec(
+                (S, nb, 4), lambda b, *_: (b, 0, 0), memory_space=pltpu.SMEM
+            ),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((B, nb, Tpad, Cb), jnp.bfloat16),
+            jax.ShapeDtypeStruct((B, nb, 4), jnp.float32),
+        ]
+        extra_scr = [pltpu.SemaphoreType.DMA]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # alphas
         grid=(B // S,),
@@ -728,9 +787,7 @@ def fused_tcn_separator(
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (S, Tpad, Cb), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=out_specs,
         scratch_shapes=h_scr + [
             pltpu.VMEM((S, Tpad, Cb), jnp.float32),
             pltpu.VMEM((2, Cb, Hh), jnp.bfloat16),
@@ -739,11 +796,11 @@ def fused_tcn_separator(
             ),
             pltpu.VMEM((2, 8, Hh), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 3)),
-        ],
+        ] + extra_scr,
     )
-    y = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Tpad, Cb), jnp.bfloat16),
+        out_shape=out_shape,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             # the peeled f32 boundary tiles push scoped stack slightly past
@@ -751,7 +808,10 @@ def fused_tcn_separator(
             vmem_limit_bytes=(64 + 32 * (S - 1)) * 1024 * 1024,
         ),
     )(alphas, x.astype(jnp.bfloat16), w1s, wsgs, vecs, cs)
-    return y[:, :T, :]
+    if save_state:
+        y, yh, stats = out
+        return y[:, :T, :], yh, stats
+    return out[:, :T, :]
 
 
 @functools.partial(

@@ -141,12 +141,22 @@ class Trainer:
 
         fused_apply = None
         if bf16 and self.fused_forward:
-            from ..models.convtasnet import ConvTasNet, make_fused_train_apply
+            from ..models.convtasnet import (
+                ConvTasNet,
+                make_fused_train_apply,
+                make_kernel_train_apply,
+            )
 
             if isinstance(model, ConvTasNet):
-                fused_apply = make_fused_train_apply(model)
-                # ConvTasNet has no dropout: the fused forward serves both
-                # train (custom VJP, XLA-recompute backward) and eval
+                # best available: fused Pallas forward AND backward for the
+                # TCN chain (round 5: 94 -> 28 ms/step at the lrs3 config,
+                # docs/BENCHMARKS.md training table); falls back to the
+                # fused-forward/XLA-recompute pairing if unavailable.
+                # ConvTasNet has no dropout: either path serves both train
+                # and eval.
+                fused_apply = make_kernel_train_apply(model)
+                if fused_apply is None:
+                    fused_apply = make_fused_train_apply(model)
 
         base_key = jax.random.PRNGKey(self.seed + 1)
 

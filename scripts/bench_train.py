@@ -31,6 +31,8 @@ CASES = [
     # delayed-norm differentiable formulation (round 5): the fused kernel's
     # algebra as plain XLA ops, so jax.grad gets the savings too
     ("ConvTasNet (lrs3, b8x2s, bf16+delayed)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 8, 3, "bfloat16+delayed"),
+    # fused Pallas forward AND backward for the TCN chain (round 5)
+    ("ConvTasNet (lrs3, b8x2s, bf16+kernelbwd)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 8, 3, "bfloat16+kernelbwd"),
     ("ConvTasNet (lrs3, b8x2s, f32+CL)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000, channels_last=True), 16000, 8, 3, "float32"),
     ("TasNet-DPRNN (wsj0, b8x4s)", lambda: M.TasNet(enc_dim=64, bn_dim=64, hidden_dim=128, win=16, layer=6, num_spk=2, module="DPRNN", block_size=100, sample_rate=8000), 8000, 8, 2, "float32"),
     ("TasNet-DPRNN (wsj0, b8x4s, bf16)", lambda: M.TasNet(enc_dim=64, bn_dim=64, hidden_dim=128, win=16, layer=6, num_spk=2, module="DPRNN", block_size=100, sample_rate=8000), 8000, 8, 2, "bfloat16"),
@@ -67,6 +69,13 @@ def bench_train(name, ctor, sr, batch, n_src, precision):
 
         apply_fn = make_delayed_train_apply(model)
         assert apply_fn is not None, "delayed train forward not eligible here"
+    elif precision.endswith("+kernelbwd"):
+        from audio_only_speech_separation_tpu.models.convtasnet import (
+            make_kernel_train_apply,
+        )
+
+        apply_fn = make_kernel_train_apply(model)
+        assert apply_fn is not None, "kernel train path not eligible here"
 
     def loss(p, m, t):
         if bf16:

@@ -385,6 +385,64 @@ def bf16_quality_study(steps=300):
     }
 
 
+def validate_tcn_backward():
+    """Fused TCN backward (ops/pallas/convtasnet_backward.py) vs jax.vjp of
+    the XLA oracle with the same math/dtype policy — on-chip gradient
+    parity for every cotangent (dx + the five packed weight grads)."""
+    from audio_only_speech_separation_tpu.ops.pallas.convtasnet_backward import (
+        make_tcn_chain,
+        tcn_chain_xla,
+    )
+
+    nb, C, H, B, T = 8, 128, 512, 2, 3000
+    r = np.random.default_rng(7)
+    x = jnp.asarray(r.normal(size=(B, T, C)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    w1s = jnp.asarray(r.normal(size=(nb, C, H)).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16
+    )
+    wsgs = jnp.asarray(r.normal(size=(nb, H, C)).astype(np.float32) * 0.1).astype(
+        jnp.bfloat16
+    )
+    vecs = jnp.asarray(r.normal(size=(nb, 8, H)).astype(np.float32) * 0.3)
+    vecs = vecs.at[:, 7, :].set(0.0)
+    cs = jnp.asarray(r.normal(size=(nb, 2, C)).astype(np.float32) * 0.1)
+    alphas = jnp.asarray(
+        np.abs(r.normal(size=(nb, 2))).astype(np.float32) * 0.3 + 0.05
+    )
+    dils = tuple(2**i for i in range(nb))
+    chain = make_tcn_chain(dils)
+    g = jnp.asarray(r.normal(size=(B, T, C)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    def run_k(*a):
+        return (chain(*a).astype(jnp.float32) * g.astype(jnp.float32)).sum()
+
+    def run_o(*a):
+        return (
+            tcn_chain_xla(*a, dils).astype(jnp.float32)
+            * g.astype(jnp.float32)
+        ).sum()
+
+    argn = (0, 1, 2, 3, 4, 5)
+    gk = jax.jit(jax.grad(run_k, argnums=argn))(x, w1s, wsgs, vecs, cs, alphas)
+    go = jax.jit(jax.grad(run_o, argnums=argn))(x, w1s, wsgs, vecs, cs, alphas)
+    names = ["dx", "dw1s", "dwsgs", "dvecs", "dcs", "dalphas"]
+    rels, ok = {}, True
+    for nm, a, b in zip(names, go, gk):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        rel = float(
+            np.linalg.norm(a - b) / (np.linalg.norm(a) + 1e-9)
+        )
+        rels[nm] = round(rel, 5)
+        bound = 0.5 if nm == "dalphas" else 6e-2
+        ok = ok and np.isfinite(b).all() and rel < bound
+    return {"shape": [nb, C, H, B, T], "rel_l2": rels, "ok": bool(ok)}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="skip the training study")
@@ -404,6 +462,7 @@ def main():
         "device": str(jax.devices()[0]),
         "kernel_source_hashes": kernel_source_hashes(),
         "tcn_kernel": validate_tcn(),
+        "tcn_backward_kernel": validate_tcn_backward(),
         "full_separator_kernel": validate_full_separator(),
         "attention_kernel": validate_attention(),
         "mha_axis1": validate_mha_axis1(),
