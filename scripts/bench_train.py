@@ -34,9 +34,16 @@ CASES = [
     # fused Pallas forward AND backward for the TCN chain (round 5)
     ("ConvTasNet (lrs3, b8x2s, bf16+kernelbwd)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 8, 3, "bfloat16+kernelbwd"),
     ("ConvTasNet (lrs3, b8x2s, f32+CL)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000, channels_last=True), 16000, 8, 3, "float32"),
+    ("ConvTasNet (lrs3, b16x2s, bf16+kernelbwd)", lambda: M.ConvTasNet(N=512, L=16, B=128, H=512, P=3, X=8, R=3, num_spks=3, sample_rate=16000), 16000, 16, 3, "bfloat16+kernelbwd"),
     ("TasNet-DPRNN (wsj0, b8x4s)", lambda: M.TasNet(enc_dim=64, bn_dim=64, hidden_dim=128, win=16, layer=6, num_spk=2, module="DPRNN", block_size=100, sample_rate=8000), 8000, 8, 2, "float32"),
     ("TasNet-DPRNN (wsj0, b8x4s, bf16)", lambda: M.TasNet(enc_dim=64, bn_dim=64, hidden_dim=128, win=16, layer=6, num_spk=2, module="DPRNN", block_size=100, sample_rate=8000), 8000, 8, 2, "bfloat16"),
     ("BSRNN (wsj0, b8x4s, bf16)", lambda: M.BSRNN(win=256, stride=64, feature_dim=128, num_spks=2, num_repeat=8, sample_rate=8000), 8000, 8, 2, "bfloat16"),
+    # remaining trainable families (round 5: complete the training table)
+    ("TasNet-DPTNet (wsj0, b8x4s, bf16)", lambda: M.TasNet(enc_dim=64, bn_dim=64, hidden_dim=128, win=16, layer=6, num_spk=2, module="DPTNet", block_size=100, sample_rate=8000), 8000, 8, 2, "bfloat16"),
+    ("Sepformer (base, b2x2s, bf16)", lambda: M.Sepformer(sample_rate=16000), 16000, 2, 2, "bfloat16"),
+    ("TDANet (lrs2, b4x2s, bf16)", lambda: M.TDANet(out_channels=128, in_channels=512, num_blocks=16, upsampling_depth=5, enc_kernel_size=4, num_sources=2, sample_rate=16000), 16000, 4, 2, "bfloat16"),
+    ("AFRCNN (lrs2, b4x2s, bf16)", lambda: M.AFRCNN(out_channels=512, in_channels=512, num_blocks=16, upsampling_depth=5, enc_kernel_size=1, num_sources=2, sample_rate=16000), 16000, 4, 2, "bfloat16"),
+    ("Sandglasset (b8x4s, bf16)", lambda: M.Sandglasset(sample_rate=8000), 8000, 8, 2, "bfloat16"),
 ]
 
 SECONDS = {8000: 4.0, 16000: 2.0}
